@@ -1,0 +1,60 @@
+"""Differentiable Gaussian blur (separable depthwise conv).
+
+The reference softens shadow-mask edges with ``cv2.GaussianBlur`` on a
+numpy round-trip, which silently breaks the autograd graph
+(ref: ddim2/test.py:619-625).  This version reproduces OpenCV's kernel
+numerics exactly (same default sigma-from-ksize rule, same REFLECT_101
+border) but stays in JAX, so gradients flow through the blur into the
+shadow parameters — and the two 1-D passes fuse into the surrounding
+elementwise work under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["gaussian_kernel_1d", "gaussian_blur"]
+
+
+def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
+    """OpenCV-compatible 1-D Gaussian kernel (cv2.getGaussianKernel parity).
+
+    sigma <= 0 uses OpenCV's rule: sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8.
+    """
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
+    x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5
+    k = np.exp(-(x**2) / (2.0 * sigma**2))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(x: jax.Array, ksize: int = 5, sigma: float = 0.0) -> jax.Array:
+    """Separable Gaussian blur over the trailing two spatial dims of a
+    [..., H, W] array (masks) or the H, W dims of NHWC images.
+
+    Matches cv2.GaussianBlur(ksize, sigma, BORDER_REFLECT_101).
+    """
+    kernel = jnp.asarray(gaussian_kernel_1d(ksize, sigma), dtype=x.dtype)
+    pad = ksize // 2
+
+    if x.ndim >= 3 and x.shape[-1] <= 4:  # NHWC image
+        h_axis, w_axis = x.ndim - 3, x.ndim - 2
+    else:  # [..., H, W] mask
+        h_axis, w_axis = x.ndim - 2, x.ndim - 1
+
+    def blur_axis(a: jax.Array, axis: int) -> jax.Array:
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (pad, pad)
+        padded = jnp.pad(a, widths, mode="reflect")
+        # correlate along `axis` as a weighted sum of shifted slices; XLA
+        # fuses the ksize adds into one pass.
+        out = jnp.zeros_like(a)
+        for i in range(ksize):
+            sl = [slice(None)] * a.ndim
+            sl[axis] = slice(i, i + a.shape[axis])
+            out = out + kernel[i] * padded[tuple(sl)]
+        return out
+
+    return blur_axis(blur_axis(x, h_axis), w_axis)

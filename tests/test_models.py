@@ -1,0 +1,113 @@
+"""Shape / grad / conditioning tests for the denoiser networks."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advshadow_tpu.models import CSPDarkUnet, SRv1, UNet, UNetModel, make_network
+from advshadow_tpu.models.layers import timestep_embedding
+from advshadow_tpu.models.unet_cond import base_pos_encoding
+
+
+class TestTimestepEmbedding:
+    def test_matches_reference_layout(self):
+        """cos-first layout, freqs exp(-log(1e4) * i/half) (ref diff_model.py:16-33)."""
+        t = jnp.array([0.0, 10.0])
+        emb = timestep_embedding(t, 8)
+        assert emb.shape == (2, 8)
+        # t=0: cos(0)=1 for first half, sin(0)=0 for second half
+        np.testing.assert_allclose(emb[0, :4], 1.0, atol=1e-6)
+        np.testing.assert_allclose(emb[0, 4:], 0.0, atol=1e-6)
+        freqs = np.exp(-np.log(10000.0) * np.arange(4) / 4)
+        np.testing.assert_allclose(emb[1, :4], np.cos(10 * freqs), rtol=1e-5)
+
+    def test_base_pos_encoding_sin_first(self):
+        """(ref: model/networks/base.py:56-68) sin first, then cos."""
+        enc = base_pos_encoding(jnp.array([0.0]), 8)
+        np.testing.assert_allclose(enc[0, :4], 0.0, atol=1e-6)
+        np.testing.assert_allclose(enc[0, 4:], 1.0, atol=1e-6)
+
+
+class TestUNetModel:
+    def _make(self, **kw):
+        cfg = dict(model_channels=32, num_res_blocks=1, channel_mult=(1, 2),
+                   attention_resolutions=(2,), num_heads=4)
+        cfg.update(kw)
+        model = UNetModel(**cfg)
+        x = jnp.zeros((2, 16, 16, 3))
+        t = jnp.array([3, 7])
+        return model, x, t
+
+    def test_shape_unconditional(self):
+        model, x, t = self._make()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+        out = jax.jit(model.apply)(params, x, t)
+        assert out.shape == x.shape
+
+    def test_conditional_null_label_differs(self):
+        model, x, t = self._make(num_classes=5)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, jnp.array([1, 2]))
+        out_cond = jax.jit(model.apply)(params, x, t, jnp.array([1, 2]))
+        out_uncond = jax.jit(model.apply)(params, x, t, None)
+        out_neg = jax.jit(model.apply)(params, x, t, jnp.array([-1, -1]))
+        assert not np.allclose(out_cond, out_uncond)
+        np.testing.assert_allclose(out_uncond, out_neg, atol=1e-6)
+
+    def test_gradients_flow(self):
+        model, x, t = self._make()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+
+        def loss(p):
+            return jnp.mean(model.apply(p, x, t) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.all(np.isfinite(l)) for l in leaves)
+        # stem conv must receive gradient
+        total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
+        assert total > 0
+
+    def test_jit_compiles(self):
+        model, x, t = self._make()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t)
+        out = jax.jit(lambda p, x, t: model.apply(p, x, t))(params, x, t)
+        assert out.shape == x.shape
+
+
+class TestCondFamily:
+    def test_unet_shapes(self):
+        model = UNet(num_classes=37, channel=(8, 16, 32, 64, 128, 256))
+        x = jnp.zeros((2, 32, 32, 3))
+        t = jnp.array([5, 9])
+        y = jnp.array([0, 36])
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, y)
+        assert jax.jit(model.apply)(params, x, t, y).shape == x.shape
+        assert jax.jit(model.apply)(params, x, t, None).shape == x.shape
+
+    def test_unet_resolution_agnostic(self):
+        """Unlike the reference (constructor-frozen attention size), the
+        rebuilt UNet runs at any mult-of-8 resolution with one param set."""
+        model = UNet(num_classes=3, channel=(8, 16, 32, 64, 128, 256))
+        t = jnp.array([1])
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)), t)
+        out = jax.jit(model.apply)(params, jnp.zeros((1, 32, 32, 3)), t)
+        assert out.shape == (1, 32, 32, 3)
+
+    def test_cspdarkunet_shapes(self):
+        model = CSPDarkUnet(num_classes=4, channel=(8, 16, 32, 64, 128, 256))
+        x = jnp.zeros((1, 32, 32, 3))
+        t = jnp.array([2])
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, jnp.array([1]))
+        assert jax.jit(model.apply)(params, x, t, jnp.array([1])).shape == x.shape
+
+    def test_srv1_upscales(self):
+        model = SRv1(channel=(16,), n=2, scale=4)
+        x = jnp.zeros((1, 8, 8, 3))
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+        assert jax.jit(model.apply)(params, x).shape == (1, 32, 32, 3)
+
+    def test_registry(self):
+        assert make_network("unet", num_classes=2).num_classes == 2
+        with pytest.raises(ValueError):
+            make_network("bogus")
