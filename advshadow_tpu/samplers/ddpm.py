@@ -1,0 +1,91 @@
+"""DDPM ancestral samplers as ``lax.scan`` loops.
+
+Two reverse processes exist in the reference and both are provided:
+
+- :func:`ddpm_sample` — the vendored framework's update
+  x <- 1/sqrt(a) (x - (1-a)/sqrt(1-abar) eps) + sqrt(beta) z, looping t
+  from T-1 down to 1, noise only for t > 1 (ref: model/samples/ddpm.py:42-105).
+- :func:`p_sample_loop` — the hand-rolled posterior sampler with
+  clip(x0_hat) and exp(0.5 logvar) noise scale, looping t from T-1 down
+  to 0, no noise at t == 0 (ref: diff_model.py:385-408).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from advshadow_tpu.core.diffusion import (
+    DiffusionCoefficients,
+    p_mean_variance,
+)
+from advshadow_tpu.samplers.base import DenoiseFn
+
+__all__ = ["ddpm_sample", "p_sample_loop"]
+
+
+def ddpm_sample(
+    coeffs: DiffusionCoefficients,
+    denoise_fn: DenoiseFn,
+    rng: jax.Array,
+    shape: Sequence[int],
+) -> jax.Array:
+    """Vendored-framework DDPM reverse process. Returns x in [-1, 1] space
+    (callers convert with :func:`advshadow_tpu.ops.image.to_uint8`)."""
+    T = coeffs.num_timesteps
+    n = shape[0]
+    rng, init_rng = jax.random.split(rng)
+    x0 = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    ts = jnp.arange(T - 1, 0, -1, dtype=jnp.int32)  # T-1 .. 1
+    step_rngs = jax.random.split(rng, T - 1)
+
+    def step(x, inp):
+        i, key = inp
+        t = jnp.full((n,), i, dtype=jnp.int32)
+        eps = denoise_fn(x, t)
+        alpha = coeffs.alphas[i]
+        alpha_hat = coeffs.alphas_cumprod[i]
+        beta = coeffs.betas[i]
+        noise = jnp.where(
+            i > 1, jax.random.normal(key, x.shape, x.dtype), jnp.zeros_like(x)
+        )
+        x = (
+            1.0 / jnp.sqrt(alpha)
+            * (x - ((1 - alpha) / jnp.sqrt(1 - alpha_hat)) * eps)
+            + jnp.sqrt(beta) * noise
+        )
+        return x, None
+
+    x, _ = jax.lax.scan(step, x0, (ts, step_rngs))
+    return x
+
+
+def p_sample_loop(
+    coeffs: DiffusionCoefficients,
+    denoise_fn: DenoiseFn,
+    rng: jax.Array,
+    shape: Sequence[int],
+    clip_denoised: bool = True,
+) -> jax.Array:
+    """Hand-rolled posterior sampler (ref: diff_model.py:385-408)."""
+    T = coeffs.num_timesteps
+    n = shape[0]
+    rng, init_rng = jax.random.split(rng)
+    x0 = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)  # T-1 .. 0
+    step_rngs = jax.random.split(rng, T)
+
+    def step(x, inp):
+        i, key = inp
+        t = jnp.full((n,), i, dtype=jnp.int32)
+        eps = denoise_fn(x, t)
+        mean, _, log_var = p_mean_variance(coeffs, x, t, eps, clip_denoised)
+        noise = jax.random.normal(key, x.shape, x.dtype)
+        nonzero = (i != 0).astype(x.dtype)
+        x = mean + nonzero * jnp.exp(0.5 * log_var) * noise
+        return x, None
+
+    x, _ = jax.lax.scan(step, x0, (ts, step_rngs))
+    return x

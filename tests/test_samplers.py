@@ -1,0 +1,187 @@
+"""Sampler tests: scan-vs-python-loop equivalence, closed-form recovery,
+CFG fusion identity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advshadow_tpu.core import make_diffusion
+from advshadow_tpu.samplers import (
+    ddim_sample,
+    ddim_sample_framework,
+    ddim_timestep_sequence,
+    ddpm_sample,
+    framework_time_pairs,
+    make_denoise_fn,
+    p_sample_loop,
+    plms_sample,
+)
+
+T = 20
+SHAPE = (2, 4, 4, 3)
+
+
+def linear_denoiser(x, t):
+    """Deterministic toy denoiser: eps depends on x and t."""
+    return 0.1 * x + 0.01 * t.astype(jnp.float32).reshape(-1, 1, 1, 1)
+
+
+def oracle_denoiser(coeffs, x_star):
+    """Perfect eps-predictor for a point-mass data distribution at x_star:
+    eps*(x_t, t) = (x_t - sqrt(abar_t) x_star) / sqrt(1 - abar_t)."""
+
+    def fn(x, t):
+        abar = coeffs.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(abar) * x_star) / jnp.sqrt(1 - abar)
+
+    return fn
+
+
+class TestTimestepSequences:
+    def test_uniform_sequence(self):
+        seq = ddim_timestep_sequence(1000, 50)
+        assert len(seq) == 50
+        assert seq[0] == 1 and seq[-1] == 981
+        assert np.all(np.diff(seq) == 20)
+
+    def test_quad_sequence(self):
+        seq = ddim_timestep_sequence(1000, 10, "quad")
+        assert seq[0] == 1 and np.all(np.diff(seq) > 0)
+
+    def test_unknown_method(self):
+        with pytest.raises(NotImplementedError):
+            ddim_timestep_sequence(1000, 10, "bogus")
+
+    def test_framework_pairs(self):
+        pairs = framework_time_pairs(1000, 500)
+        # first pair is (high, next lower), last pair ends at 0
+        assert pairs[0, 0] == 999 and pairs[-1, 1] == 0
+        assert pairs.shape == (500, 2)
+        # consecutive: t_prev of row i == t of row i+1
+        assert np.all(pairs[:-1, 1] == pairs[1:, 0])
+
+
+class TestScanVsLoop:
+    """The lax.scan samplers must match a straightforward python loop over
+    the same update equations with the same RNG stream."""
+
+    def setup_method(self):
+        self.coeffs = make_diffusion(T, "framework_linear")
+        self.rng = jax.random.PRNGKey(42)
+
+    def test_ddpm_matches_loop(self):
+        out = ddpm_sample(self.coeffs, linear_denoiser, self.rng, SHAPE)
+
+        c = self.coeffs
+        rng, init_rng = jax.random.split(self.rng)
+        x = jax.random.normal(init_rng, SHAPE, dtype=jnp.float32)
+        keys = jax.random.split(rng, T - 1)
+        for idx, i in enumerate(range(T - 1, 0, -1)):
+            t = jnp.full((SHAPE[0],), i, jnp.int32)
+            eps = linear_denoiser(x, t)
+            a, ah, b = c.alphas[i], c.alphas_cumprod[i], c.betas[i]
+            noise = jax.random.normal(keys[idx], SHAPE) if i > 1 else jnp.zeros(SHAPE)
+            x = 1 / jnp.sqrt(a) * (x - (1 - a) / jnp.sqrt(1 - ah) * eps) + jnp.sqrt(b) * noise
+        np.testing.assert_allclose(out, x, atol=1e-4)
+
+    def test_ddim_framework_matches_loop(self):
+        out = ddim_sample_framework(
+            self.coeffs, linear_denoiser, self.rng, SHAPE, sample_steps=10
+        )
+        c = self.coeffs
+        rng, init_rng = jax.random.split(self.rng)
+        x = jax.random.normal(init_rng, SHAPE, dtype=jnp.float32)
+        pairs = framework_time_pairs(T, 10)
+        for t, p in pairs:
+            tb = jnp.full((SHAPE[0],), int(t), jnp.int32)
+            at, ap = c.alphas_cumprod[int(t)], c.alphas_cumprod[int(p)]
+            eps = linear_denoiser(x, tb)
+            x0 = jnp.clip((x - eps * jnp.sqrt(1 - at)) / jnp.sqrt(at), -1, 1)
+            x = jnp.sqrt(ap) * x0 + jnp.sqrt(1 - ap) * eps  # eta=0
+        np.testing.assert_allclose(out, x, atol=1e-4)
+
+    def test_plms_matches_loop(self):
+        out = plms_sample(
+            self.coeffs, linear_denoiser, self.rng, SHAPE, sample_steps=10
+        )
+        c = self.coeffs
+        rng, init_rng = jax.random.split(self.rng)
+        x = jax.random.normal(init_rng, SHAPE, dtype=jnp.float32)
+        pairs = framework_time_pairs(T, 10)
+        old_eps = []
+
+        def upd(x, e, at, ap):
+            x0 = jnp.clip((x - e * jnp.sqrt(1 - at)) / jnp.sqrt(at), -1, 1)
+            return jnp.sqrt(ap) * x0 + jnp.sqrt(1 - ap) * e
+
+        for t, p in pairs:
+            tb = jnp.full((SHAPE[0],), int(t), jnp.int32)
+            pb = jnp.full((SHAPE[0],), int(p), jnp.int32)
+            at, ap = c.alphas_cumprod[int(t)], c.alphas_cumprod[int(p)]
+            eps = linear_denoiser(x, tb)
+            if len(old_eps) == 0:
+                p_x = upd(x, eps, at, ap)
+                eps_next = linear_denoiser(p_x, pb)
+                ep = (eps + eps_next) / 2
+            elif len(old_eps) == 1:
+                ep = (3 * eps - old_eps[-1]) / 2
+            elif len(old_eps) == 2:
+                ep = (23 * eps - 16 * old_eps[-1] + 5 * old_eps[-2]) / 12
+            else:
+                ep = (55 * eps - 59 * old_eps[-1] + 37 * old_eps[-2] - 9 * old_eps[-3]) / 24
+            x = upd(x, ep, at, ap)
+            old_eps.append(eps)
+        np.testing.assert_allclose(out, x, atol=1e-4)
+
+
+class TestClosedForm:
+    def test_ddim_oracle_recovers_point_mass(self):
+        """With a perfect eps-oracle for a point mass, deterministic DDIM
+        must land on x_star."""
+        coeffs = make_diffusion(1000, "linear")
+        x_star = jnp.full(SHAPE, 0.37)
+        fn = oracle_denoiser(coeffs, x_star)
+        out = ddim_sample(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                          ddim_timesteps=50)
+        np.testing.assert_allclose(out, x_star, atol=5e-2)
+
+    def test_p_sample_loop_oracle(self):
+        coeffs = make_diffusion(200, "linear")
+        x_star = jnp.full(SHAPE, -0.25)
+        fn = oracle_denoiser(coeffs, x_star)
+        out = p_sample_loop(coeffs, fn, jax.random.PRNGKey(1), SHAPE)
+        assert float(jnp.mean(jnp.abs(out - x_star))) < 0.15
+
+
+class TestCFG:
+    def test_fused_cfg_equals_two_forwards(self):
+        calls = []
+
+        def apply_fn(params, x, t, y=None):
+            calls.append(x.shape[0])
+            base = 0.05 * x
+            if y is None:
+                return base
+            shift = jnp.where(y < 0, 0.0, y.astype(jnp.float32))
+            return base + shift.reshape(-1, 1, 1, 1)
+
+        labels = jnp.array([1, 3])
+        fn = make_denoise_fn(apply_fn, None, labels, cfg_scale=3.0)
+        x = jnp.ones(SHAPE)
+        t = jnp.array([5, 5])
+        fused = fn(x, t)
+        # reference: lerp(uncond, cond, s) = uncond + s*(cond - uncond)
+        cond = apply_fn(None, x, t, labels)
+        uncond = apply_fn(None, x, t, jnp.array([-1, -1]))
+        np.testing.assert_allclose(fused, uncond + 3.0 * (cond - uncond), atol=1e-5)
+        assert calls[0] == 4  # one fused 2N forward
+
+    def test_no_cfg_single_forward(self):
+        def apply_fn(params, x, t, y=None):
+            return jnp.zeros_like(x) + (0 if y is None else 1)
+
+        fn = make_denoise_fn(apply_fn, None, jnp.array([1, 2]), cfg_scale=None)
+        assert float(fn(jnp.ones(SHAPE), jnp.array([1, 1]))[0, 0, 0, 0]) == 1.0
+        fn_u = make_denoise_fn(apply_fn, None, None, None)
+        assert float(fn_u(jnp.ones(SHAPE), jnp.array([1, 1]))[0, 0, 0, 0]) == 0.0
