@@ -1,0 +1,35 @@
+from advshadow_tpu.train.checkpoint import (
+    filter_pretrain_params,
+    load_ckpt,
+    load_ckpt_params,
+    save_ckpt,
+    separate_ckpt_weights,
+)
+from advshadow_tpu.train.lr import LR_FUNCS, cosine_lr, make_lr_schedule
+from advshadow_tpu.train.trainer import (
+    OPTIMIZERS,
+    TrainConfig,
+    TrainState,
+    create_train_state,
+    ema_update,
+    make_optimizer,
+    make_train_step,
+)
+
+__all__ = [
+    "filter_pretrain_params",
+    "load_ckpt",
+    "load_ckpt_params",
+    "save_ckpt",
+    "separate_ckpt_weights",
+    "LR_FUNCS",
+    "cosine_lr",
+    "make_lr_schedule",
+    "OPTIMIZERS",
+    "TrainConfig",
+    "TrainState",
+    "create_train_state",
+    "ema_update",
+    "make_optimizer",
+    "make_train_step",
+]

@@ -1,0 +1,144 @@
+"""Checkpointing (orbax) with the reference's self-describing metadata.
+
+Mirrors the reference checkpoint subsystem (ref: utils/checkpoint.py):
+- a rich metadata dict saved alongside weights {start_epoch, num_classes,
+  classes_name, conditional, image_size, sample, network, act}
+  (ref: utils/checkpoint.py:143-147), so generation can be configured
+  entirely from a checkpoint (ref: utils/initializer.py:216-256);
+- ``ckpt_last`` written every epoch plus optional per-epoch copies
+  (ref: utils/checkpoint.py:148-156);
+- pretrain partial load with label-embedding reset and shape-filtered
+  merge (ref: utils/checkpoint.py:96-117);
+- EMA-weights selection at load (ref: utils/checkpoint.py:42-54).
+
+No DDP ``module.`` prefix handling is needed — SPMD params are a plain
+pytree on every host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ["save_ckpt", "load_ckpt", "load_ckpt_params",
+           "filter_pretrain_params", "separate_ckpt_weights"]
+
+_META = "metadata.json"
+
+
+def _tree_dir(path: str, name: str) -> str:
+    return os.path.join(os.path.abspath(path), name)
+
+
+def save_ckpt(
+    results_dir: str,
+    epoch: int,
+    params: Any,
+    ema_params: Any,
+    opt_state: Any = None,
+    save_name: Optional[str] = None,
+    save_model_interval: bool = False,
+    start_model_interval: int = -1,
+    **metadata,
+) -> str:
+    """Save ``ckpt_last`` (always) plus an interval copy (optionally).
+
+    ``metadata`` carries the reference fields (num_classes, conditional,
+    image_size, sample, network, act, classes_name, ...).
+    """
+    os.makedirs(results_dir, exist_ok=True)
+    last = _tree_dir(results_dir, "ckpt_last")
+    if os.path.exists(last):
+        shutil.rmtree(last)
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = {"model": params, "ema_model": ema_params}
+    if opt_state is not None:
+        tree["optimizer"] = opt_state
+    ckptr.save(last, tree)
+    meta = dict(metadata)
+    meta["start_epoch"] = int(epoch)
+    with open(os.path.join(last, _META), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+
+    if save_model_interval and epoch > start_model_interval and save_name:
+        copy_dir = _tree_dir(results_dir, save_name)
+        if os.path.exists(copy_dir):
+            shutil.rmtree(copy_dir)
+        shutil.copytree(last, copy_dir)
+    return last
+
+
+def load_ckpt(ckpt_path: str) -> Dict[str, Any]:
+    """Load the full checkpoint tree + metadata dict."""
+    ckptr = ocp.PyTreeCheckpointer()
+    tree = ckptr.restore(os.path.abspath(ckpt_path))
+    meta_path = os.path.join(ckpt_path, _META)
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    tree["metadata"] = meta
+    return tree
+
+
+def load_ckpt_params(ckpt_path: str, is_use_ema: bool = False) -> Any:
+    """Model (or EMA) params only, with EMA fallback to raw weights
+    (ref: utils/checkpoint.py:42-54)."""
+    tree = load_ckpt(ckpt_path)
+    if is_use_ema and tree.get("ema_model") is not None:
+        return tree["ema_model"]
+    return tree["model"]
+
+
+def filter_pretrain_params(
+    init_params: Any,
+    loaded_params: Any,
+    reset_label_embedding: bool = True,
+) -> Any:
+    """Pretrain partial load: keep loaded weights whose shapes match the
+    freshly initialized tree, re-initialize the label embedding (class
+    count may differ), drop mismatches (ref: utils/checkpoint.py:96-117).
+    """
+    flat_init = _flatten(init_params)
+    flat_loaded = _flatten(loaded_params)
+    merged = {}
+    for key, init_val in flat_init.items():
+        loaded = flat_loaded.get(key)
+        is_label = "label_emb" in key
+        if (loaded is not None and not (reset_label_embedding and is_label)
+                and np.shape(loaded) == np.shape(init_val)):
+            merged[key] = loaded
+        else:
+            merged[key] = init_val
+    return _unflatten(merged, init_params)
+
+
+def separate_ckpt_weights(tree: Dict[str, Any], separate_model=True,
+                          separate_ema_model=True, separate_optimizer=True):
+    """Strip selected sections (ref: utils/checkpoint.py:160-176)."""
+    out = dict(tree)
+    if separate_model:
+        out["model"] = None
+    if separate_ema_model:
+        out["ema_model"] = None
+    if separate_optimizer:
+        out["optimizer"] = None
+    return out
+
+
+def _flatten(tree: Any) -> Dict[str, Any]:
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return {jax.tree_util.keystr(k): v for k, v in flat}
+
+
+def _unflatten(flat: Dict[str, Any], like: Any) -> Any:
+    paths, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = [flat[jax.tree_util.keystr(k)] for k, _ in paths]
+    return jax.tree_util.tree_unflatten(jax.tree_util.tree_structure(like),
+                                        leaves)

@@ -1,0 +1,221 @@
+"""Attack pipeline tests: mask geometry/differentiability, blur parity,
+perturbation bounds and effectiveness, shadow optimization end-to-end."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advshadow_tpu.attack import (
+    DIFF2_CONFIG,
+    EVAL_CONFIG,
+    ShadowOptConfig,
+    apply_shadow,
+    batched_optimize_shadow,
+    bim_attack,
+    composite_shadow,
+    create_shadow_mask,
+    fgsm_perturbation,
+    integrated_gradients_attack,
+    iterative_gradient_attack,
+    mask_centroid,
+    optimize_shadow_position,
+    pgd_attack,
+    soften_mask,
+)
+from advshadow_tpu.ops.blur import gaussian_blur, gaussian_kernel_1d
+
+H = W = 32
+NUM_CLASSES = 5
+
+
+def make_victim(rng=0):
+    """Tiny differentiable victim: per-pixel linear head over mean colors."""
+    key = jax.random.PRNGKey(rng)
+    w = jax.random.normal(key, (3 * H * W, NUM_CLASSES)) * 0.5
+
+    def victim_fn(x):
+        flat = x.reshape(x.shape[0], -1)
+        return flat @ w
+
+    return victim_fn
+
+
+class TestShadowMask:
+    def test_hard_mask_geometry(self):
+        m = create_shadow_mask(H, W, jnp.array([16.0, 16.0]), jnp.array(8.0))
+        assert m.shape == (H, W)
+        assert m[16, 16] == 1.0 and m[0, 0] == 0.0
+        # area ~ pi r^2
+        assert float(m.sum()) == pytest.approx(np.pi * 64, rel=0.15)
+
+    def test_hard_mask_zero_radius_grad(self):
+        g = jax.grad(lambda r: jnp.sum(
+            create_shadow_mask(H, W, jnp.array([16.0, 16.0]), r, hard=True)))(
+            jnp.array(8.0))
+        assert float(g) == 0.0
+
+    def test_soft_mask_nonzero_radius_grad(self):
+        g = jax.grad(lambda r: jnp.sum(
+            create_shadow_mask(H, W, jnp.array([16.0, 16.0]), r, hard=False)))(
+            jnp.array(8.0))
+        assert float(g) > 0.0  # larger radius -> more coverage
+
+    def test_centroid(self):
+        mask = jnp.zeros((H, W)).at[10:20, 4:8].set(1.0)
+        c = mask_centroid(mask)  # (x, y)
+        assert float(c[0]) == pytest.approx(5.5, abs=0.01)
+        assert float(c[1]) == pytest.approx(14.5, abs=0.01)
+
+
+class TestBlur:
+    def test_matches_numpy_reference(self):
+        """Separable blur == explicit 2-D convolution with reflect pad."""
+        rng = np.random.default_rng(0)
+        x = rng.random((9, 9)).astype(np.float32)
+        k = gaussian_kernel_1d(5)
+        k2d = np.outer(k, k)
+        padded = np.pad(x, 2, mode="reflect")
+        expected = np.zeros_like(x)
+        for i in range(9):
+            for j in range(9):
+                expected[i, j] = np.sum(padded[i:i + 5, j:j + 5] * k2d)
+        out = gaussian_blur(jnp.asarray(x), 5)
+        np.testing.assert_allclose(out, expected, atol=1e-5)
+
+    def test_opencv_sigma_rule(self):
+        # sigma(ksize=5) = 0.3*((5-1)*0.5 - 1) + 0.8 = 1.1
+        k = gaussian_kernel_1d(5)
+        sigma = 1.1
+        xs = np.arange(5) - 2.0
+        expected = np.exp(-xs**2 / (2 * sigma**2))
+        expected /= expected.sum()
+        np.testing.assert_allclose(k, expected, rtol=1e-6)
+
+    def test_blur_differentiable(self):
+        g = jax.grad(lambda m: jnp.sum(soften_mask(m) ** 2))(jnp.ones((8, 8)))
+        assert np.all(np.isfinite(g))
+
+
+class TestComposite:
+    def test_darkening_formula(self):
+        img = jnp.full((4, 4, 3), 0.8)
+        mask = jnp.zeros((4, 4)).at[1, 1].set(1.0)
+        out = composite_shadow(img, mask, shadow_intensity=0.5)
+        assert float(out[1, 1, 0]) == pytest.approx(0.4)
+        assert float(out[0, 0, 0]) == pytest.approx(0.8)
+
+
+class TestPerturbations:
+    def setup_method(self):
+        self.victim = make_victim()
+        self.rng = jax.random.PRNGKey(0)
+        self.image = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3))
+        self.mask = jnp.zeros((H, W)).at[8:24, 8:24].set(1.0)
+
+    def test_ig_attack_bounds_and_mask(self):
+        eps = 0.05
+        adv, pert = integrated_gradients_attack(
+            self.victim, self.image, jnp.int32(2), self.mask, self.rng,
+            epsilon=eps, iterations=3, steps=4)
+        assert float(jnp.max(jnp.abs(pert))) <= eps + 1e-6
+        outside = pert * (1 - self.mask)[..., None]
+        np.testing.assert_allclose(outside, 0.0, atol=1e-7)
+        assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+
+    def test_ig_attack_moves_toward_target(self):
+        """Targeted: CE toward the target label must drop."""
+        from advshadow_tpu.attack import cross_entropy
+        target = jnp.int32(3)
+        adv, _ = integrated_gradients_attack(
+            self.victim, self.image, target, jnp.ones((H, W)), self.rng,
+            epsilon=0.3, alpha=0.05, iterations=10, steps=4)
+        ce0 = cross_entropy(self.victim(self.image[None]), target[None])
+        ce1 = cross_entropy(self.victim(adv[None]), target[None])
+        assert float(ce1) < float(ce0)
+
+    def test_iga_attack(self):
+        adv, pert = iterative_gradient_attack(
+            self.victim, self.image, jnp.int32(1), self.mask,
+            epsilon=0.05, iterations=5)
+        assert float(jnp.max(jnp.abs(pert))) <= 0.05 + 1e-6
+
+    def test_fgsm(self):
+        g = jnp.ones_like(self.image)
+        out = fgsm_perturbation(self.image, 0.1, g)
+        np.testing.assert_allclose(
+            out, jnp.clip(self.image + 0.1, 0, 1), atol=1e-6)
+
+    def test_bim_pgd_linf_bound(self):
+        batch = self.image[None]
+        eps = 0.03
+        for adv in (
+            bim_attack(self.victim, batch, eps, 0.01, 5),
+            pgd_attack(self.victim, batch, eps, 0.01, 5, self.rng),
+        ):
+            assert float(jnp.max(jnp.abs(adv - batch))) <= eps + 1e-6
+            assert float(adv.min()) >= 0 and float(adv.max()) <= 1
+
+
+class TestShadowOptimization:
+    def setup_method(self):
+        self.victim = make_victim()
+        self.rng = jax.random.PRNGKey(0)
+        self.image = jax.random.uniform(jax.random.PRNGKey(1), (H, W, 3))
+        self.mask = jnp.zeros((H, W)).at[8:24, 8:24].set(1.0)
+        self.fast = ShadowOptConfig(
+            iterations=2, inner_iterations=2, inner_steps=2, radius_init=6.0)
+
+    def test_soft_mode_updates_radius(self):
+        res = optimize_shadow_position(
+            self.victim, self.image, self.mask, jnp.int32(2), self.rng,
+            self.fast)
+        assert res.image.shape == self.image.shape
+        assert float(res.radius) != pytest.approx(6.0)
+        # only shadowed region changed
+        diff = jnp.abs(res.image - self.image).sum(-1)
+        outside = diff * (1 - self.mask)
+        np.testing.assert_allclose(outside, 0.0, atol=1e-5)
+
+    def test_hard_mode_mask_gradient_is_zero(self):
+        """Hard mask -> the adversarial CE contributes zero gradient to the
+        radius; with the regularizer off the radius is frozen (the
+        reference's radius evolves only through its reg term + AdamW)."""
+        cfg = ShadowOptConfig(
+            iterations=2, inner_iterations=2, inner_steps=2, radius_init=6.0,
+            hard=True, reg_weight=0.0)
+        res = optimize_shadow_position(
+            self.victim, self.image, self.mask, jnp.int32(2), self.rng, cfg)
+        assert float(res.radius) == pytest.approx(6.0)
+
+    def test_hard_mode_reg_term_grows_radius(self):
+        """With the reference loss (-100 CE - 0.01 reg), minimizing pushes
+        the radius up through the reg term even though the mask itself has
+        no gradient (exact reference semantics, ddim2/test.py:558-560)."""
+        cfg = ShadowOptConfig(
+            iterations=2, inner_iterations=2, inner_steps=2, radius_init=6.0,
+            hard=True)
+        res = optimize_shadow_position(
+            self.victim, self.image, self.mask, jnp.int32(2), self.rng, cfg)
+        assert float(res.radius) > 6.0
+
+    def test_batched_matches_single(self):
+        images = jnp.stack([self.image, self.image * 0.5])
+        masks = jnp.stack([self.mask, self.mask])
+        labels = jnp.array([2, 4], dtype=jnp.int32)
+        res = batched_optimize_shadow(
+            self.victim, images, masks, labels, self.rng, self.fast)
+        assert res.image.shape == images.shape
+        assert res.radius.shape == (2,)
+        rngs = jax.random.split(self.rng, 2)
+        single = optimize_shadow_position(
+            self.victim, images[0], masks[0], labels[0], rngs[0], self.fast)
+        np.testing.assert_allclose(res.image[0], single.image, atol=1e-5)
+
+    def test_diff2_config_optimizes_center(self):
+        cfg = ShadowOptConfig(
+            iterations=2, inner="iga", inner_iterations=2,
+            optimize_center=True, optimizer="adam", compound=False)
+        res = optimize_shadow_position(
+            self.victim, self.image, self.mask, jnp.int32(0), self.rng, cfg)
+        assert res.center.shape == (2,)
