@@ -9,7 +9,9 @@ import os
 import sys
 
 # Force CPU: the host env pins JAX_PLATFORMS to the (single, contended)
-# TPU tunnel; unit tests must be hermetic and run on the virtual CPU mesh.
+# TPU tunnel and a sitecustomize imports jax at interpreter startup, so the
+# env var alone is too late — update the live jax config instead (works
+# because backends initialize lazily).
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -20,6 +22,8 @@ if "xla_force_host_platform_device_count" not in flags:
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 # Per-op eager compiles are ~1s each on this CPU; cache compilations across
 # test runs so the suite stays fast.

@@ -1,0 +1,160 @@
+"""Training subsystem tests: train step learns, EMA warmup semantics, LR
+schedule parity, checkpoint roundtrip, SPMD sharding on the 8-device mesh."""
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advshadow_tpu.core import make_diffusion
+from advshadow_tpu.models import UNetModel
+from advshadow_tpu.parallel import (
+    data_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from advshadow_tpu.train import (
+    TrainConfig,
+    cosine_lr,
+    create_train_state,
+    ema_update,
+    filter_pretrain_params,
+    load_ckpt,
+    load_ckpt_params,
+    make_train_step,
+    save_ckpt,
+)
+
+
+def tiny_model(num_classes=None):
+    return UNetModel(model_channels=32, num_res_blocks=1, channel_mult=(1, 2),
+                     attention_resolutions=(), num_classes=num_classes)
+
+
+class TestLRSchedule:
+    def test_matches_reference_math(self):
+        """cosine_lr == set_cosine_lr closed form (ref utils/lr_scheduler.py)."""
+        # warmup phase
+        assert cosine_lr(2, 100, 0.0, 1.0, warmup=True) == pytest.approx(0.4)
+        # cosine phase
+        e, E, wu = 50, 100, 5
+        expected = 0.0 + 1.0 * (1 + math.cos(math.pi * (e - wu) / (E - wu))) / 2
+        assert cosine_lr(e, E, 0.0, 1.0, warmup=True) == pytest.approx(expected)
+        # no-warmup starts at lr_max
+        assert cosine_lr(0, 100, 0.0, 1.0, warmup=False) == pytest.approx(1.0)
+
+
+class TestEMA:
+    def test_warmup_copies_then_decays(self):
+        p = {"w": jnp.asarray(2.0)}
+        e = {"w": jnp.asarray(0.0)}
+        # before start: hard copy (ref model/modules/ema.py:46-57)
+        out = ema_update(e, p, jnp.asarray(10), beta=0.995, start=2000)
+        assert float(out["w"]) == pytest.approx(2.0)
+        # after start: decay
+        out = ema_update(e, p, jnp.asarray(3000), beta=0.995, start=2000)
+        assert float(out["w"]) == pytest.approx(0.005 * 2.0)
+
+
+class TestTrainStep:
+    def test_loss_decreases_unconditional(self):
+        coeffs = make_diffusion(50, "framework_linear")
+        model = tiny_model()
+        cfg = TrainConfig(lr=2e-3, conditional=False, epochs=10,
+                          steps_per_epoch=10, lr_func="linear")
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.uniform(rng, (8, 16, 16, 3), minval=-1, maxval=1)
+        state = create_train_state(model, rng, x, cfg)
+        step_fn = make_train_step(coeffs, cfg, donate=False)
+        labels = jnp.zeros((8,), jnp.int32)
+        losses = []
+        for i in range(30):
+            state, metrics = step_fn(state, x, labels, jax.random.fold_in(rng, i))
+            losses.append(float(metrics["loss"]))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])
+        assert int(state.step) == 30
+
+    def test_conditional_with_cfg_dropout(self):
+        coeffs = make_diffusion(50, "framework_linear")
+        model = tiny_model(num_classes=4)
+        cfg = TrainConfig(lr=1e-3, conditional=True, cfg_dropout=0.5,
+                          epochs=5, steps_per_epoch=5)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.uniform(rng, (4, 16, 16, 3), minval=-1, maxval=1)
+        labels = jnp.array([0, 1, 2, 3])
+        state = create_train_state(model, rng, x, cfg, labels=labels)
+        step_fn = make_train_step(coeffs, cfg, donate=False)
+        state, metrics = step_fn(state, x, labels, rng)
+        assert np.isfinite(float(metrics["loss"]))
+
+
+class TestSharding:
+    def test_mesh_and_data_sharding(self):
+        assert jax.device_count() == 8
+        mesh = make_mesh()
+        assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+        x = jnp.zeros((16, 8, 8, 3))
+        xs = jax.device_put(x, data_sharding(mesh))
+        assert len(xs.sharding.device_set) == 8
+
+    def test_spmd_train_step_on_mesh(self):
+        """Full train step over a data-sharded batch with replicated params;
+        the multi-chip path the driver dry-runs."""
+        coeffs = make_diffusion(20, "framework_linear")
+        model = tiny_model(num_classes=4)
+        cfg = TrainConfig(lr=1e-3, conditional=True, epochs=2, steps_per_epoch=2)
+        rng = jax.random.PRNGKey(0)
+        mesh = make_mesh()
+        x = jax.random.uniform(rng, (16, 16, 16, 3), minval=-1, maxval=1)
+        labels = jnp.zeros((16,), jnp.int32)
+        state = create_train_state(model, rng, x, cfg, labels=labels)
+        state = replicate(state, mesh)
+        batch = shard_batch({"x": x, "y": labels}, mesh)
+        step_fn = make_train_step(coeffs, cfg, donate=False)
+        state, metrics = step_fn(state, batch["x"], batch["y"], rng)
+        assert np.isfinite(float(metrics["loss"]))
+        # params stay replicated after the update
+        leaf = jax.tree_util.tree_leaves(state.params)[0]
+        assert leaf.sharding.is_fully_replicated
+
+
+class TestCheckpoint:
+    def test_roundtrip_with_metadata(self, tmp_path):
+        params = {"dense": {"kernel": jnp.ones((3, 4)), "bias": jnp.zeros(4)}}
+        ema = jax.tree_util.tree_map(lambda x: x * 2, params)
+        path = save_ckpt(
+            str(tmp_path), epoch=7, params=params, ema_params=ema,
+            num_classes=37, conditional=True, image_size=64, sample="ddim",
+            network="unet", act="silu", classes_name=["a", "b"],
+        )
+        tree = load_ckpt(path)
+        assert tree["metadata"]["start_epoch"] == 7
+        assert tree["metadata"]["num_classes"] == 37
+        assert tree["metadata"]["sample"] == "ddim"
+        np.testing.assert_allclose(tree["model"]["dense"]["kernel"],
+                                   np.ones((3, 4)))
+        np.testing.assert_allclose(
+            load_ckpt_params(path, is_use_ema=True)["dense"]["kernel"],
+            2 * np.ones((3, 4)))
+
+    def test_interval_copy(self, tmp_path):
+        params = {"w": jnp.ones(2)}
+        save_ckpt(str(tmp_path), epoch=5, params=params, ema_params=params,
+                  save_name="ckpt_5", save_model_interval=True,
+                  start_model_interval=2)
+        assert os.path.isdir(tmp_path / "ckpt_5")
+        assert os.path.isdir(tmp_path / "ckpt_last")
+
+    def test_pretrain_filter(self):
+        init = {"label_emb": jnp.zeros((5, 8)), "conv": jnp.zeros((3, 3)),
+                "head": jnp.zeros((4,))}
+        loaded = {"label_emb": jnp.ones((9, 8)), "conv": jnp.ones((3, 3)),
+                  "head": jnp.ones((2,))}  # wrong shape
+        merged = filter_pretrain_params(init, loaded)
+        np.testing.assert_allclose(merged["conv"], 1.0)       # kept
+        np.testing.assert_allclose(merged["label_emb"], 0.0)  # reset
+        np.testing.assert_allclose(merged["head"], 0.0)       # shape-filtered
