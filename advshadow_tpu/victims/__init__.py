@@ -1,0 +1,39 @@
+from advshadow_tpu.victims.labels import (
+    OXFORD_PET_CLASSES,
+    label_to_int,
+    load_id2label,
+    true_label_from_filename,
+)
+from advshadow_tpu.victims.port import port_resnet, port_vgg
+from advshadow_tpu.victims.resnet import ResNet, resnet18, resnet34, resnet50
+from advshadow_tpu.victims.vgg import VGG, vgg16, vgg19
+from advshadow_tpu.victims.vit import ViT, vit_b16, vit_s16
+from advshadow_tpu.victims.zoo import (
+    VICTIMS,
+    imagenet_normalize,
+    make_victim_fn,
+    make_victim_model,
+)
+
+__all__ = [
+    "OXFORD_PET_CLASSES",
+    "label_to_int",
+    "load_id2label",
+    "true_label_from_filename",
+    "port_resnet",
+    "port_vgg",
+    "ResNet",
+    "resnet18",
+    "resnet34",
+    "resnet50",
+    "VGG",
+    "vgg16",
+    "vgg19",
+    "ViT",
+    "vit_b16",
+    "vit_s16",
+    "VICTIMS",
+    "imagenet_normalize",
+    "make_victim_fn",
+    "make_victim_model",
+]

@@ -1,0 +1,96 @@
+"""Victim zoo tests, including bit-level torch->flax porting parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advshadow_tpu.victims import (
+    OXFORD_PET_CLASSES,
+    label_to_int,
+    make_victim_fn,
+    make_victim_model,
+    port_resnet,
+    port_vgg,
+    true_label_from_filename,
+)
+
+torch = pytest.importorskip("torch")
+from tests.torch_refs import torch_resnet18, torch_resnet50, torch_vgg16  # noqa: E402
+
+
+def _to_numpy_sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+class TestPortingParity:
+    def test_resnet18_logits_match_torch(self):
+        tm = torch_resnet18(num_classes=37).eval()
+        variables = port_resnet(_to_numpy_sd(tm), stage_sizes=(2, 2, 2, 2))
+        fm = make_victim_model("resnet18", num_classes=37)
+
+        x = np.random.default_rng(0).random((2, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(fm.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
+
+    def test_resnet50_logits_match_torch(self):
+        tm = torch_resnet50(num_classes=10).eval()
+        variables = port_resnet(_to_numpy_sd(tm), stage_sizes=(3, 4, 6, 3))
+        fm = make_victim_model("resnet50", num_classes=10)
+        x = np.random.default_rng(1).random((1, 64, 64, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(fm.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, atol=5e-4)
+
+    def test_vgg16_logits_match_torch(self):
+        tm = torch_vgg16(num_classes=7).eval()
+        variables = port_vgg(_to_numpy_sd(tm))
+        fm = make_victim_model("vgg16", num_classes=7)
+        # 224 input: torchvision's adaptive 7x7 avgpool is the identity
+        x = np.random.default_rng(2).random((1, 224, 224, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(fm.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, atol=2e-3)
+
+
+class TestZoo:
+    def test_vit_shapes(self):
+        m = make_victim_model("vit_s16", num_classes=37)
+        x = jnp.zeros((1, 224, 224, 3))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        assert jax.jit(m.apply)(v, x).shape == (1, 37)
+
+    def test_victim_fn_resizes_and_grads(self):
+        m = make_victim_model("resnet18", num_classes=5)
+        x0 = jnp.zeros((1, 224, 224, 3))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x0)
+        fn = make_victim_fn(m, v, input_size=224)
+        small = jnp.full((2, 64, 64, 3), 0.5)
+        logits = fn(small)
+        assert logits.shape == (2, 5)
+        g = jax.grad(lambda x: fn(x).sum())(small)
+        assert np.all(np.isfinite(g)) and float(jnp.abs(g).sum()) > 0
+
+    def test_unknown_victim(self):
+        with pytest.raises(ValueError):
+            make_victim_model("alexnet")
+
+
+class TestLabels:
+    def test_class_list(self):
+        assert len(OXFORD_PET_CLASSES) == 37
+        assert OXFORD_PET_CLASSES[0] == "Abyssinian"
+
+    def test_label_to_int_roundtrip(self):
+        id2label = dict(enumerate(OXFORD_PET_CLASSES))
+        l2i = label_to_int(id2label)
+        assert l2i["Bengal"] == 1
+
+    def test_filename_parsing(self):
+        assert true_label_from_filename("Abyssinian_12.png") == "Abyssinian"
+        assert (true_label_from_filename("american_pit_bull_terrier_3.jpg")
+                == "american_pit_bull_terrier")
