@@ -140,9 +140,11 @@ def _attention_pallas(
 
 
 def _use_pallas_auto(T: int, d: int) -> bool:
-    if not _HAS_PALLAS or jax.default_backend() != "tpu":
+    """Shape feasibility only — the backend choice happens at lowering
+    time via ``lax.platform_dependent`` (the kernel must fit: full K/V +
+    a [BLOCK_Q, T] score tile comfortably in VMEM)."""
+    if not _HAS_PALLAS:
         return False
-    # Full K/V + a [BLOCK_Q, T] score tile must fit comfortably in VMEM.
     d_pad = -(-d // _LANE) * _LANE
     t_pad = -(-T // _LANE) * _LANE
     vmem = (2 * t_pad * d_pad + _BLOCK_Q * t_pad + _BLOCK_Q * d_pad) * 4
@@ -152,7 +154,13 @@ def _use_pallas_auto(T: int, d: int) -> bool:
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _attention(q, k, v, scale: float, use_pallas: bool):
     if use_pallas:
-        return _attention_pallas(q, k, v, scale)
+        # Select per lowering platform: the Pallas kernel on TPU, the XLA
+        # einsum path everywhere else (CPU test meshes, interpreters).
+        return jax.lax.platform_dependent(
+            q, k, v,
+            tpu=functools.partial(_attention_pallas, scale=scale),
+            default=functools.partial(attention_reference, scale=scale),
+        )
     return attention_reference(q, k, v, scale)
 
 

@@ -1,0 +1,115 @@
+"""Headline benchmark: DDIM-50 shadowed-image generations per second per chip.
+
+Pipeline under test (the reference's core workload, SURVEY.md §6):
+  1. conditional DDIM-50 sampling (CFG, fused 2N forward) with the
+     flagship UNet at 64x64, and
+  2. the full adversarial shadow attack (EVAL preset: 11 outer iters x
+     10 IG iters x 21-point path integral against a ResNet-18 victim),
+     vmapped over the batch and jitted as one region.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
+
+vs_baseline is measured against the driver-set north star of 5k
+generations/min on a v5e-8 == 10.417 imgs/sec/chip (BASELINE.md).
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+NORTH_STAR_PER_CHIP = 5000.0 / 60.0 / 8.0  # 10.417 imgs/sec/chip
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    batch = 8 if small else 64
+    image_size = 32 if small else 64
+    ddim_steps = 10 if small else 50
+
+    from advshadow_tpu.attack import EVAL_CONFIG, ShadowOptConfig, batched_optimize_shadow
+    from advshadow_tpu.core import make_diffusion
+    from advshadow_tpu.models import UNetModel
+    from advshadow_tpu.samplers import ddim_sample, make_denoise_fn
+    from advshadow_tpu.victims import make_victim_fn, make_victim_model
+
+    n_chips = jax.device_count()
+    log(f"devices: {jax.devices()} ({n_chips} chips)")
+
+    rng = jax.random.PRNGKey(0)
+
+    # --- flagship conditional denoiser ---
+    model = UNetModel(
+        model_channels=32 if small else 64, num_res_blocks=2,
+        channel_mult=(1, 2, 2) if small else (1, 2, 2, 2),
+        attention_resolutions=(8, 16), num_heads=4, num_classes=37,
+    )
+    x0 = jnp.zeros((batch, image_size, image_size, 3))
+    t0 = jnp.zeros((batch,), jnp.int32)
+    y = jnp.arange(batch, dtype=jnp.int32) % 37
+    params = jax.jit(model.init)(rng, x0, t0, y)
+
+    coeffs = make_diffusion(1000, "linear")
+    denoise = make_denoise_fn(model.apply, params, labels=y, cfg_scale=3.0)
+
+    @jax.jit
+    def generate(key):
+        return ddim_sample(coeffs, denoise, key,
+                           (batch, image_size, image_size, 3),
+                           ddim_timesteps=ddim_steps)
+
+    # --- victim + attack ---
+    victim = make_victim_model("resnet18", num_classes=37)
+    vparams = jax.jit(victim.init)(rng, jnp.zeros((1, image_size, image_size, 3)))
+    victim_fn = make_victim_fn(victim, vparams)
+
+    attack_cfg = (ShadowOptConfig(iterations=2, inner_iterations=2,
+                                  inner_steps=4) if small else EVAL_CONFIG)
+    masks = jnp.ones((batch, image_size, image_size))
+    targets = (y + 1) % 37
+
+    def pipeline(key):
+        imgs = generate(key)                      # [-1,1]
+        imgs01 = (jnp.clip(imgs, -1, 1) + 1) / 2  # attack space [0,1]
+        res = batched_optimize_shadow(victim_fn, imgs01, masks, targets,
+                                      key, attack_cfg)
+        return res.image
+
+    # warmup/compile
+    log("compiling...")
+    tc = time.time()
+    out = pipeline(jax.random.PRNGKey(1))
+    out.block_until_ready()
+    log(f"compile+first run: {time.time() - tc:.1f}s")
+
+    # timed runs
+    reps = 2 if small else 3
+    t0_ = time.time()
+    for i in range(reps):
+        out = pipeline(jax.random.fold_in(rng, i))
+    out.block_until_ready()
+    dt = time.time() - t0_
+
+    imgs_per_sec = batch * reps / dt
+    per_chip = imgs_per_sec / n_chips
+    result = {
+        "metric": "DDIM-50 shadowed imgs/sec/chip",
+        "value": round(per_chip, 3),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(per_chip / NORTH_STAR_PER_CHIP, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
