@@ -78,7 +78,14 @@ class ResNet(nn.Module):
     num_classes: int = 1000
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, return_features: bool = False,
+                 feature_offset: jax.Array | None = None):
+        """Classify; with ``return_features`` also return the final conv
+        feature map (the reference's Grad-CAM target ``layer4[-1]``,
+        ref: ddim2/grad-cam.py:21-22).  ``feature_offset`` is added to the
+        feature map before the head — a probe input that lets Grad-CAM
+        take exact gradients w.r.t. the intermediate activation
+        (:mod:`advshadow_tpu.eval.gradcam`)."""
         h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     name="conv1")(x)
         h = nn.relu(_bn("bn1")(h))
@@ -91,8 +98,14 @@ class ResNet(nn.Module):
                 stride = 2 if stage > 0 and i == 0 else 1
                 h = self.block(channels, stride,
                                name=f"layer{stage + 1}_{i}")(h)
+        if feature_offset is not None:
+            h = h + feature_offset
+        features = h
         h = jnp.mean(h, axis=(1, 2))
-        return nn.Dense(self.num_classes, name="fc")(h)
+        logits = nn.Dense(self.num_classes, name="fc")(h)
+        if return_features:
+            return logits, features
+        return logits
 
 
 resnet18 = partial(ResNet, BasicBlock, (2, 2, 2, 2))

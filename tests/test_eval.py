@@ -1,0 +1,154 @@
+"""Evaluation metric tests: PSNR/SSIM closed forms, FID vs scipy sqrtm,
+batched ASR, Grad-CAM sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.linalg
+
+from advshadow_tpu.eval import (
+    batch_psnr_ssim,
+    compute_asr,
+    fid_from_features,
+    frechet_distance,
+    grad_cam,
+    make_resnet_cam_fn,
+    psnr,
+    show_cam_on_image,
+    ssim,
+)
+from advshadow_tpu.eval.fid import activation_statistics
+from advshadow_tpu.ops.sqrtm import sqrtm_newton_schulz, trace_sqrtm_product
+
+
+class TestPSNR:
+    def test_closed_form(self):
+        a = jnp.zeros((8, 8, 3))
+        b = jnp.full((8, 8, 3), 0.1)
+        # PSNR = 10 log10(1 / 0.01) = 20
+        assert float(psnr(a, b, 1.0)) == pytest.approx(20.0, abs=1e-4)
+
+    def test_identical_is_inf(self):
+        a = jnp.ones((4, 4, 3))
+        assert float(psnr(a, a)) == float("inf")
+
+
+class TestSSIM:
+    def test_identical_images(self):
+        x = jax.random.uniform(jax.random.PRNGKey(0), (32, 32, 3))
+        assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+
+    def test_uncorrelated_noise_low(self):
+        a = jax.random.uniform(jax.random.PRNGKey(1), (32, 32, 3))
+        b = jax.random.uniform(jax.random.PRNGKey(2), (32, 32, 3))
+        assert float(ssim(a, b)) < 0.2
+
+    def test_luminance_shift_closed_form(self):
+        """For constant images x=c1, y=c2: variances are 0, so SSIM =
+        (2 c1 c2 + C1)(C2)/((c1^2+c2^2+C1)(C2)) — the luminance term."""
+        c1v, c2v = 0.3, 0.6
+        a = jnp.full((16, 16, 1), c1v)
+        b = jnp.full((16, 16, 1), c2v)
+        C1 = 0.01**2
+        expected = (2 * c1v * c2v + C1) / (c1v**2 + c2v**2 + C1)
+        assert float(ssim(a, b, data_range=1.0)) == pytest.approx(
+            expected, rel=1e-5)
+
+    def test_batch_metrics(self):
+        a = jax.random.uniform(jax.random.PRNGKey(0), (4, 16, 16, 3))
+        noise = 0.05 * jax.random.normal(jax.random.PRNGKey(1), a.shape)
+        b = jnp.clip(a + noise, 0, 1)
+        s, p = batch_psnr_ssim(a, b)
+        assert 0 < float(s) < 1 and 15 < float(p) < 40
+
+
+class TestFID:
+    def test_sqrtm_matches_scipy(self):
+        rng = np.random.default_rng(0)
+        m = rng.random((16, 16)).astype(np.float32)
+        a = m @ m.T + 0.1 * np.eye(16, dtype=np.float32)  # PSD
+        ours = np.asarray(sqrtm_newton_schulz(jnp.asarray(a), 40))
+        theirs = scipy.linalg.sqrtm(a).real
+        np.testing.assert_allclose(ours, theirs, atol=1e-3)
+
+    def test_trace_sqrtm_product_matches_scipy(self):
+        rng = np.random.default_rng(1)
+        a = rng.random((12, 12)).astype(np.float32)
+        b = rng.random((12, 12)).astype(np.float32)
+        s1 = a @ a.T + 0.1 * np.eye(12, dtype=np.float32)
+        s2 = b @ b.T + 0.1 * np.eye(12, dtype=np.float32)
+        ours = float(trace_sqrtm_product(jnp.asarray(s1), jnp.asarray(s2), 50))
+        theirs = float(np.trace(scipy.linalg.sqrtm(s1 @ s2).real))
+        assert ours == pytest.approx(theirs, rel=2e-3)
+
+    def test_identical_sets_zero(self):
+        f = jax.random.normal(jax.random.PRNGKey(0), (256, 32))
+        assert abs(float(fid_from_features(f, f))) < 0.5
+
+    def test_mean_shift_analytic(self):
+        """Same covariance, mean shift d: FID ~= ||d||^2."""
+        f1 = jax.random.normal(jax.random.PRNGKey(0), (4096, 8))
+        f2 = f1 + jnp.asarray([2.0] + [0.0] * 7)
+        assert float(fid_from_features(f1, f2)) == pytest.approx(4.0, abs=0.3)
+
+    def test_cov_stats_ddof1(self):
+        f = np.random.default_rng(0).random((64, 5)).astype(np.float32)
+        mu, sigma = activation_statistics(jnp.asarray(f))
+        np.testing.assert_allclose(mu, f.mean(0), atol=1e-5)
+        np.testing.assert_allclose(sigma, np.cov(f, rowvar=False), atol=1e-5)
+
+
+class TestASR:
+    def test_synthetic_victim(self):
+        def victim(x):
+            # predicts class = floor(mean * 3)
+            m = jnp.clip((x.mean(axis=(1, 2, 3)) * 3).astype(jnp.int32), 0, 3)
+            return jax.nn.one_hot(m, 4) * 10.0
+
+        imgs = jnp.stack([jnp.full((8, 8, 3), v) for v in (0.1, 0.5, 0.9)])
+        labels = jnp.array([0, 1, 0])  # last one mislabeled on purpose
+        out = compute_asr(victim, imgs, labels)
+        assert out["n"] == 3
+        assert out["asr"] == pytest.approx(1 / 3)
+        assert out["accuracy"] == pytest.approx(2 / 3)
+
+
+class TestGradCAM:
+    def test_resnet_cam_shape_and_range(self):
+        from advshadow_tpu.victims import make_victim_model
+
+        model = make_victim_model("resnet18", num_classes=4)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        variables = jax.jit(
+            lambda r, x: model.init(r, x))(jax.random.PRNGKey(1), x)
+        cam_fn = make_resnet_cam_fn(model, variables)
+        cam = grad_cam(cam_fn, x)
+        assert cam.shape == (2, 32, 32)
+        assert float(cam.min()) >= 0 and float(cam.max()) <= 1 + 1e-6
+        overlay = show_cam_on_image(x[0], cam[0])
+        assert overlay.shape == (32, 32, 3)
+
+    def test_cam_equals_fc_row_for_gap_head(self):
+        """For a GAP+Dense head, d score/d features pooled == fc row /
+        (h*w); the CAM weights must match that analytic value."""
+        from advshadow_tpu.victims import make_victim_model
+
+        model = make_victim_model("resnet18", num_classes=3)
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 32, 32, 3))
+        variables = jax.jit(
+            lambda r, x: model.init(r, x))(jax.random.PRNGKey(1), x)
+        logits, feats = model.apply(variables, x, return_features=True)
+        target = jnp.argmax(logits, axis=-1)
+
+        def score(offset):
+            lg, _ = model.apply(variables, x, return_features=True,
+                                feature_offset=offset)
+            return jnp.take_along_axis(lg, target[:, None], axis=-1).sum()
+
+        g = jax.grad(score)(jnp.zeros_like(feats))
+        got = g.mean(axis=(1, 2))[0]
+        fc_w = variables["params"]["fc"]["kernel"]  # [C, classes]
+        h, w = feats.shape[1], feats.shape[2]
+        expected = fc_w[:, int(target[0])] / (h * w)
+        np.testing.assert_allclose(got, expected, atol=1e-6)
