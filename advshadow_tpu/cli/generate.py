@@ -1,0 +1,106 @@
+"""Generation CLI — checkpoint-metadata-driven sampling.
+
+Mirrors ref: tools/generate.py:26-155: conditional/unconditional,
+network/size/act/classes read FROM the checkpoint metadata
+(ref: utils/initializer.py:216-256), per-class or single-class output,
+EMA weights option, grid + per-image saves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from advshadow_tpu.core import make_diffusion
+from advshadow_tpu.models import make_network
+from advshadow_tpu.ops.image import to_uint8
+from advshadow_tpu.samplers import make_denoise_fn, make_sampler
+from advshadow_tpu.train.checkpoint import load_ckpt
+from advshadow_tpu.utils import choices, get_logger, save_images, \
+    save_one_image_in_images
+
+logger = get_logger("generate")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """Flag surface of ref: tools/generate.py:96-154."""
+    p = argparse.ArgumentParser(description="AdvShadow-TPU generator")
+    p.add_argument("--generate_name", type=str, default="df")
+    p.add_argument("--image_size", type=int, default=None,
+                   help="overrides ckpt metadata when set")
+    p.add_argument("--image_format", type=str, default="png",
+                   choices=choices.image_format_choices)
+    p.add_argument("--num_images", type=int, default=8)
+    p.add_argument("--weight_path", type=str, required=True)
+    p.add_argument("--result_path", type=str, default="./generate_results")
+    p.add_argument("--sample", type=str, default=None,
+                   choices=choices.sample_choices + [None])
+    p.add_argument("--use_ema", type=bool, default=False)
+    p.add_argument("--cfg_scale", type=int, default=3)
+    p.add_argument("--class_name", type=int, default=-1,
+                   help="-1 = one image per class (ref tools/generate.py:71-74)")
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def generate(args) -> np.ndarray:
+    tree = load_ckpt(args.weight_path)
+    meta = tree["metadata"]
+    conditional = meta.get("conditional", False)
+    network = meta.get("network", "unet")
+    image_size = args.image_size or meta.get("image_size", 64)
+    act = meta.get("act", "silu")
+    num_classes = meta.get("num_classes", 1)
+    sample = args.sample or meta.get("sample", "ddpm")
+
+    params = tree["ema_model"] if (args.use_ema and tree.get("ema_model")
+                                   is not None) else tree["model"]
+    net_kwargs = {}
+    if meta.get("channel"):
+        net_kwargs["channel"] = tuple(meta["channel"])
+    model = make_network(network,
+                         num_classes=num_classes if conditional else None,
+                         act=act, **net_kwargs)
+    coeffs = make_diffusion(1000, meta.get("noise_schedule",
+                                           "framework_linear"))
+    if conditional:
+        if args.class_name == -1:
+            labels = jnp.arange(num_classes, dtype=jnp.int32)
+            n = int(num_classes)
+        else:
+            labels = jnp.full((args.num_images,), args.class_name, jnp.int32)
+            n = args.num_images
+        cfg_scale = args.cfg_scale
+    else:
+        labels, cfg_scale, n = None, None, args.num_images
+
+    denoise = make_denoise_fn(model.apply, params, labels, cfg_scale)
+    sampler = make_sampler(sample)
+    x = sampler(coeffs, denoise, jax.random.PRNGKey(args.seed),
+                (n, image_size, image_size, 3))
+    imgs = np.asarray(to_uint8(x))
+
+    out_dir = f"{args.result_path}/{int(time.time())}"
+    save_images(imgs, f"{out_dir}/{args.generate_name}.{args.image_format}")
+    save_one_image_in_images(imgs, out_dir, args.generate_name,
+                             image_size=image_size,
+                             image_format=args.image_format)
+    logger.info(f"saved {n} images to {out_dir}")
+    return imgs
+
+
+def main(argv=None):
+    from advshadow_tpu.utils.runtime import runtime_init
+
+    runtime_init()
+    args = build_parser().parse_args(argv)
+    return generate(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,202 @@
+"""Shadow-diffusion training CLI — the paper's core loop.
+
+Re-design of ref: tools/train_shadow.py + ddim2/main2.py:68-213: every
+batch is first turned into adversarially-shadowed images (shadow
+parameter optimization + masked pixel attack against a frozen victim),
+then the diffusion model trains on the shadowed batch so it learns to
+generate adversarial shadows conditionally.
+
+TPU design: the reference runs the attack per-image in Python
+(ddim2/main2.py:159-168); here the whole batch goes through ONE jitted
+``batched_optimize_shadow`` region, then one jitted diffusion train step.
+Targeted mode draws a random wrong label per image
+(ref: ddim2/main2.py:160-167); non-targeted uses the true label
+(ref: ddim2/test_main.py:160-168).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from advshadow_tpu.attack import TRAIN_CONFIG, ShadowOptConfig, \
+    batched_optimize_shadow
+from advshadow_tpu.cli.train import build_parser as build_train_parser
+from advshadow_tpu.core import make_diffusion
+from advshadow_tpu.data import BatchLoader, ShadowPairDataset
+from advshadow_tpu.models import make_network
+from advshadow_tpu.ops.image import to_uint8
+from advshadow_tpu.parallel import make_mesh, replicate, shard_batch
+from advshadow_tpu.samplers import make_denoise_fn, make_sampler
+from advshadow_tpu.train import TrainConfig, create_train_state, \
+    make_train_step, save_ckpt
+from advshadow_tpu.utils import append_args_log, get_logger, save_images, \
+    seed_initializer, setup_logging
+from advshadow_tpu.victims import OXFORD_PET_CLASSES, make_victim_fn, \
+    make_victim_model
+
+logger = get_logger("train_shadow")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = build_train_parser()
+    p.description = "AdvShadow-TPU shadow-diffusion trainer"
+    p.add_argument("--mask_dir", type=str, required=True)
+    p.add_argument("--labels_json", type=str, default=None)
+    p.add_argument("--victim", type=str, default="resnet18")
+    p.add_argument("--victim_ckpt", type=str, default=None,
+                   help="npz of ported victim variables")
+    p.add_argument("--targeted", type=bool, default=True)
+    p.add_argument("--shadow_intensity", type=float, default=0.43)
+    p.add_argument("--shadow_iterations", type=int, default=1)
+    p.add_argument("--attack_epsilon", type=float, default=0.05)
+    p.add_argument("--attack_alpha", type=float, default=0.005)
+    p.add_argument("--attack_iterations", type=int, default=20)
+    p.add_argument("--soft_mask", type=bool, default=True)
+    return p
+
+
+def _load_victim(args, image_size: int, rng):
+    model = make_victim_model(args.victim, num_classes=args.num_classes)
+    if args.victim_ckpt:
+        import pickle
+
+        with open(args.victim_ckpt, "rb") as f:
+            variables = pickle.load(f)
+    else:
+        logger.warning("no --victim_ckpt: using randomly initialized victim "
+                       "(smoke/benchmark mode)")
+        variables = jax.jit(model.init)(
+            rng, jnp.zeros((1, image_size, image_size, 3)))
+    return make_victim_fn(model, variables)
+
+
+def train_shadow(args) -> dict:
+    rng = seed_initializer(args.seed)
+    # the data axis must divide the per-host batch; park extra devices
+    import math
+
+    data_axis = math.gcd(args.batch_size, jax.local_device_count())
+    mesh = make_mesh(data=data_axis, devices=jax.devices()[:data_axis])
+    dirs = setup_logging(args.result_path, args.run_name)
+    append_args_log(dirs["results_dir"], args)
+
+    dataset = ShadowPairDataset(
+        args.dataset_path, args.mask_dir, args.image_size,
+        labels_json=args.labels_json,
+        class_names=OXFORD_PET_CLASSES if args.labels_json else None,
+        seed=args.seed,
+    )
+    loader = BatchLoader(dataset, args.batch_size, seed=args.seed,
+                         num_hosts=jax.process_count(),
+                         host_id=jax.process_index())
+    num_classes = len(dataset.classes) or args.num_classes
+    steps_per_epoch = max(len(loader), 1)
+
+    victim_fn = _load_victim(args, args.image_size, rng)
+    attack_cfg = ShadowOptConfig(
+        iterations=args.shadow_iterations,
+        optimizer=TRAIN_CONFIG.optimizer,
+        radius_init=TRAIN_CONFIG.radius_init,
+        adv_weight=TRAIN_CONFIG.adv_weight,
+        reg_weight=TRAIN_CONFIG.reg_weight,
+        shadow_intensity=args.shadow_intensity,
+        inner="iga",
+        inner_epsilon=args.attack_epsilon,
+        inner_alpha=args.attack_alpha,
+        inner_iterations=args.attack_iterations,
+        hard=not args.soft_mask,
+    )
+
+    net_kwargs = {}
+    if getattr(args, "channels", None):
+        net_kwargs["channel"] = tuple(
+            int(c) for c in args.channels.split(","))
+    model = make_network(args.network, num_classes=num_classes, act=args.act,
+                         **net_kwargs)
+    coeffs = make_diffusion(1000, args.noise_schedule)
+    config = TrainConfig(lr=args.lr, optim=args.optim, lr_func=args.lr_func,
+                         epochs=args.epochs, steps_per_epoch=steps_per_epoch,
+                         conditional=True)
+    sample_x = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3))
+    sample_y = jnp.zeros((args.batch_size,), jnp.int32)
+    state = create_train_state(model, rng, sample_x, config, labels=sample_y)
+    state = replicate(state, mesh)
+    step_fn = make_train_step(coeffs, config, donate=True)
+    sampler = make_sampler(args.sample)
+
+    losses_hist = []
+    for epoch in range(args.epochs):
+        t0 = time.time()
+        losses = []
+        for batch in loader:
+            images_pm1, masks, labels = batch[0], batch[1], batch[2]
+            images01 = (jnp.asarray(images_pm1) + 1.0) / 2.0
+            masks = jnp.asarray(masks)
+            labels = jnp.asarray(labels, jnp.int32)
+
+            rng, a_rng, t_rng, s_rng = jax.random.split(rng, 4)
+            if args.targeted:
+                # random label != true (ref: ddim2/main2.py:160-167)
+                offset = jax.random.randint(t_rng, labels.shape, 1,
+                                            num_classes)
+                targets = (labels + offset) % num_classes
+            else:
+                targets = labels
+
+            shadowed = batched_optimize_shadow(
+                victim_fn, images01, masks, targets, a_rng, attack_cfg
+            ).image
+            shadowed_pm1 = shadowed * 2.0 - 1.0
+
+            sharded = shard_batch({"x": shadowed_pm1, "y": labels}, mesh)
+            state, metrics = step_fn(state, sharded["x"], sharded["y"], s_rng)
+            losses.append(metrics["loss"])
+
+        mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else np.nan
+        logger.info(f"epoch {epoch}: loss={mean_loss:.5f} "
+                    f"({time.time() - t0:.1f}s)")
+        losses_hist.append(mean_loss)
+
+        if args.vis and jax.process_index() == 0:
+            n = min(num_classes, 16)
+            denoise = make_denoise_fn(
+                model.apply, state.ema_params,
+                jnp.arange(n, dtype=jnp.int32), args.cfg_scale)
+            rng, vis_rng = jax.random.split(rng)
+            x = sampler(coeffs, denoise, vis_rng,
+                        (n, args.image_size, args.image_size, 3))
+            save_images(np.asarray(to_uint8(x)),
+                        f"{dirs['vis_dir']}/{args.run_name}-{epoch}."
+                        f"{args.image_format}")
+
+        if jax.process_index() == 0:
+            save_ckpt(
+                dirs["results_dir"], epoch,
+                params=jax.device_get(state.params),
+                ema_params=jax.device_get(state.ema_params),
+                num_classes=num_classes, conditional=True,
+                image_size=args.image_size, sample=args.sample,
+                network=args.network, act=args.act,
+                classes_name=dataset.classes,
+                noise_schedule=args.noise_schedule,
+                channel=list(net_kwargs.get("channel", [])) or None,
+            )
+    return {"loss": losses_hist, "results_dir": dirs["results_dir"]}
+
+
+def main(argv=None):
+    from advshadow_tpu.utils.runtime import runtime_init
+
+    runtime_init()
+    args = build_parser().parse_args(argv)
+    return train_shadow(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,22 @@
+from advshadow_tpu.utils import choices
+from advshadow_tpu.utils.images import (
+    append_args_log,
+    save_images,
+    save_one_image_in_images,
+    setup_logging,
+)
+from advshadow_tpu.utils.logger import CustomLogger, get_logger
+from advshadow_tpu.utils.runtime import runtime_init
+from advshadow_tpu.utils.seed import seed_initializer
+
+__all__ = [
+    "choices",
+    "append_args_log",
+    "save_images",
+    "save_one_image_in_images",
+    "setup_logging",
+    "CustomLogger",
+    "get_logger",
+    "runtime_init",
+    "seed_initializer",
+]

@@ -32,6 +32,8 @@ def log(msg):
 
 
 def main():
+    from advshadow_tpu.utils.runtime import runtime_init
+    runtime_init()
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     batch = 8 if small else 64
     image_size = 32 if small else 64

@@ -1,0 +1,198 @@
+"""End-to-end pipeline tests: train CLI -> checkpoint -> generate CLI,
+shadow-train CLI, deploy server protocol, mask extraction, misc tools."""
+
+import json
+import os
+import threading
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+from advshadow_tpu.serve import DeployServer, send_request
+
+TINY = ["--channels", "8,16,32,64,128,256", "--image_size", "16",
+        "--batch_size", "4", "--epochs", "2"]
+
+
+@pytest.fixture
+def dataset(tmp_path):
+    root = tmp_path / "data"
+    for cls, color in (("cat", (200, 30, 30)), ("dog", (30, 200, 30))):
+        d = root / cls
+        d.mkdir(parents=True)
+        for i in range(4):
+            Image.new("RGB", (24, 24), color).save(d / f"{cls}_{i}.png")
+    return str(root)
+
+
+@pytest.fixture
+def shadow_dataset(tmp_path):
+    img_dir = tmp_path / "imgs"
+    mask_dir = tmp_path / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    labels = {}
+    for i in range(4):
+        name = f"Abyssinian_{i}.png"
+        Image.new("RGB", (24, 24), (120, 90, 60)).save(img_dir / name)
+        m = Image.new("L", (24, 24), 0)
+        m.paste(255, (4, 4, 20, 20))
+        m.save(mask_dir / f"mask_{name}")
+        labels[name] = "Abyssinian"
+    labels_json = tmp_path / "labels.json"
+    labels_json.write_text(json.dumps(labels))
+    return str(img_dir), str(mask_dir), str(labels_json)
+
+
+class TestTrainGeneratePipeline:
+    def test_train_then_generate(self, dataset, tmp_path):
+        from advshadow_tpu.cli.generate import main as generate_main
+        from advshadow_tpu.cli.train import main as train_main
+
+        result_path = str(tmp_path / "results")
+        out = train_main([
+            "--dataset_path", dataset, "--result_path", result_path,
+            "--run_name", "t", "--sample", "ddim", "--vis", "",
+            *TINY,
+        ])
+        assert len(out["loss"]) == 2 and np.isfinite(out["loss"][-1])
+        ckpt = os.path.join(out["results_dir"], "ckpt_last")
+        assert os.path.isdir(ckpt)
+
+        # metadata-driven generation from that checkpoint
+        imgs = generate_main([
+            "--weight_path", ckpt,
+            "--result_path", str(tmp_path / "gen"),
+            "--class_name", "0", "--num_images", "2", "--use_ema", "",
+        ])
+        assert imgs.shape == (2, 16, 16, 3) and imgs.dtype == np.uint8
+        # metadata was honored (image size from ckpt)
+        meta = json.load(open(os.path.join(ckpt, "metadata.json")))
+        assert meta["image_size"] == 16 and meta["conditional"] is True
+
+    def test_resume(self, dataset, tmp_path):
+        from advshadow_tpu.cli.train import main as train_main
+
+        result_path = str(tmp_path / "results")
+        args = ["--dataset_path", dataset, "--result_path", result_path,
+                "--run_name", "r", "--vis", "", *TINY]
+        train_main(args)
+        out = train_main(args + ["--resume", "1", "--start_epoch", "1"])
+        assert len(out["loss"]) == 1  # epochs 1..2
+
+
+class TestShadowTrainPipeline:
+    def test_shadow_train_smoke(self, shadow_dataset, tmp_path):
+        from advshadow_tpu.cli.train_shadow import main as ts_main
+
+        img_dir, mask_dir, labels_json = shadow_dataset
+        out = ts_main([
+            "--dataset_path", img_dir, "--mask_dir", mask_dir,
+            "--labels_json", labels_json,
+            "--result_path", str(tmp_path / "res"), "--run_name", "s",
+            "--vis", "", "--epochs", "1",
+            "--channels", "8,16,32,64,128,256",
+            "--image_size", "16", "--batch_size", "4",
+            "--shadow_iterations", "1", "--attack_iterations", "2",
+        ])
+        assert np.isfinite(out["loss"][-1])
+
+
+class TestDeployServer:
+    def test_protocol_roundtrip(self):
+        def fake_generate(req):
+            assert req["sample"] == "ddim"
+            return {"image": [{"image_id": "x", "image_name": "x.jpg"}]}
+
+        server = DeployServer(port=0, generate_fn=fake_generate)
+        server.start(background=True)
+        try:
+            resp = send_request("localhost", server.port,
+                                {"sample": "ddim", "conditional": False})
+            data = json.loads(resp)
+            assert data["image"][0]["image_name"] == "x.jpg"
+        finally:
+            server.stop()
+
+    def test_error_returns_500(self):
+        def broken(req):
+            raise RuntimeError("boom")
+
+        server = DeployServer(port=0, generate_fn=broken)
+        server.start(background=True)
+        try:
+            resp = send_request("localhost", server.port, {"a": 1})
+            assert resp == "500"
+        finally:
+            server.stop()
+
+
+class TestMaskExtraction:
+    def test_weights_free_pipeline(self, tmp_path):
+        import cv2
+
+        from advshadow_tpu.masks import extract_and_save_masks
+
+        src = tmp_path / "imgs"
+        dst = tmp_path / "masks"
+        src.mkdir()
+        # object on plain background so GrabCut has something to find
+        arr = np.full((60, 80, 3), 250, np.uint8)
+        arr[15:45, 25:55] = (40, 90, 160)
+        cv2.imwrite(str(src / "obj_1.png"), arr)
+        n = extract_and_save_masks(str(src), str(dst))
+        assert n == 1
+        mask = cv2.imread(str(dst / "mask_obj_1.png"), cv2.IMREAD_GRAYSCALE)
+        assert mask is not None and set(np.unique(mask)).issubset({0, 255})
+        assert mask.sum() > 0
+
+    def test_combine_masks_thresholds(self):
+        from advshadow_tpu.masks import combine_detection_masks
+
+        boxes = np.zeros((1, 1, 2, 7), np.float32)
+        boxes[0, 0, 0, 1:3] = (0, 0.9)          # confident detection
+        boxes[0, 0, 0, 3:7] = (0.0, 0.0, 0.5, 0.5)
+        boxes[0, 0, 1, 1:3] = (0, 0.5)          # below 0.7 -> dropped
+        boxes[0, 0, 1, 3:7] = (0.5, 0.5, 1.0, 1.0)
+        masks = np.ones((2, 1, 5, 5), np.float32)
+        out = combine_detection_masks((40, 40), boxes, masks)
+        assert out[:20, :20].min() == 255
+        assert out[25:, 25:].max() == 0
+
+
+class TestDataTools:
+    def test_label_json(self, tmp_path):
+        from advshadow_tpu.masks import label_json_from_filenames
+
+        (tmp_path / "Abyssinian_1.png").touch()
+        Image.new("RGB", (4, 4)).save(tmp_path / "Abyssinian_1.png")
+        out = label_json_from_filenames(str(tmp_path),
+                                        str(tmp_path / "l.json"))
+        assert out["Abyssinian_1.png"] == "Abyssinian"
+
+    def test_subset_sampling(self, tmp_path):
+        from advshadow_tpu.masks import pick_images_and_masks
+
+        img, mask = tmp_path / "i", tmp_path / "m"
+        img.mkdir()
+        mask.mkdir()
+        for i in range(6):
+            Image.new("RGB", (4, 4)).save(img / f"a_{i}.png")
+            Image.new("L", (4, 4)).save(mask / f"mask_a_{i}.png")
+        chosen = pick_images_and_masks(str(img), str(mask),
+                                       str(tmp_path / "oi"),
+                                       str(tmp_path / "om"), n=3, seed=0)
+        assert len(chosen) == 3
+        assert len(os.listdir(tmp_path / "oi")) == 3
+        assert len(os.listdir(tmp_path / "om")) == 3
+
+    def test_resize_folder(self, tmp_path):
+        from advshadow_tpu.masks import resize_images_in_folder
+
+        Image.new("RGB", (50, 30)).save(tmp_path / "x.png")
+        n = resize_images_in_folder(str(tmp_path), str(tmp_path / "out"), 16)
+        assert n == 1
+        with Image.open(tmp_path / "out" / "x.png") as im:
+            assert im.size == (16, 16)
