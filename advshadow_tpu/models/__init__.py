@@ -17,11 +17,18 @@ SR_NETWORKS = {
 
 
 def make_network(name: str, **kwargs):
+    """Build a denoiser by name, dropping kwargs the class doesn't take
+    (the families have different config surfaces: the conditional UNets
+    take ``channel``/``act``; UNetModel takes ``model_channels``/
+    ``channel_mult``/... and hardcodes SiLU like the reference)."""
     try:
         cls = NETWORKS[name]
     except KeyError:
         raise ValueError(f"unknown network {name!r}; choices: {sorted(NETWORKS)}")
-    return cls(**kwargs)
+    import dataclasses
+
+    valid = {f.name for f in dataclasses.fields(cls)}
+    return cls(**{k: v for k, v in kwargs.items() if k in valid})
 
 
 __all__ = ["UNet", "CSPDarkUnet", "UNetModel", "SRv1", "NETWORKS",

@@ -196,3 +196,33 @@ class TestDataTools:
         assert n == 1
         with Image.open(tmp_path / "out" / "x.png") as im:
             assert im.size == (16, 16)
+
+
+class TestSRPipeline:
+    def test_sr_train_smoke(self, dataset, tmp_path):
+        from advshadow_tpu.cli.train_sr import main as sr_main
+
+        out = sr_main([
+            "--dataset_path", dataset, "--result_path", str(tmp_path / "sr"),
+            "--epochs", "2", "--batch_size", "4", "--image_size", "16",
+            "--scale", "4", "--n_blocks", "1", "--channels", "8",
+        ])
+        assert len(out["loss"]) == 2
+        assert out["loss"][1] < out["loss"][0]  # MSE drops on flat images
+
+    def test_sr_dataset_shapes(self, dataset):
+        from advshadow_tpu.data import SRDataset
+
+        ds = SRDataset(16, dataset, scale=4)
+        lr, hr = ds[0]
+        assert lr.shape == (4, 4, 3) and hr.shape == (16, 16, 3)
+        assert 0 <= lr.min() and hr.max() <= 1
+
+
+class TestNetworkKwargFiltering:
+    def test_unet_ddpm_via_registry(self):
+        from advshadow_tpu.models import make_network
+
+        m = make_network("unet_ddpm", act="silu", channel=(8, 16),
+                         model_channels=16, num_classes=5)
+        assert m.model_channels == 16 and m.num_classes == 5
