@@ -18,7 +18,11 @@ import jax
 import jax.numpy as jnp
 
 from advshadow_tpu.ops.image import resize
+from advshadow_tpu.victims import convnext as _convnext
+from advshadow_tpu.victims import efficientnet as _efficientnet
+from advshadow_tpu.victims import inception as _inception
 from advshadow_tpu.victims import resnet as _resnet
+from advshadow_tpu.victims import swin as _swin
 from advshadow_tpu.victims import vgg as _vgg
 from advshadow_tpu.victims import vit as _vit
 
@@ -30,8 +34,8 @@ IMAGENET_STD = (0.229, 0.224, 0.225)
 
 #: name -> model factory (num_classes kwarg). Mirrors the reference zoo:
 #: timm resnet50/convnext/swin, torchvision VGG16/19 + EfficientNetV2,
-#: HF ViT/DINOv2, fastai resnet18 (ASR_fast.py:16-88). Families not yet
-#: ported are registered as None and raise with a clear message.
+#: HF ViT/DINOv2 (vit_s16 covers the DINOv2-small geometry), fastai
+#: resnet18, and InceptionV3 for FID (ASR_fast.py:16-88, fid_fast.py:11).
 VICTIMS = {
     "resnet18": _resnet.resnet18,
     "resnet34": _resnet.resnet34,
@@ -40,6 +44,12 @@ VICTIMS = {
     "vgg19": _vgg.vgg19,
     "vit_b16": _vit.vit_b16,
     "vit_s16": _vit.vit_s16,
+    "convnext_tiny": _convnext.convnext_tiny,
+    "convnext_base": _convnext.convnext_base,
+    "efficientnetv2_s": _efficientnet.efficientnetv2_s,
+    "swin_tiny": _swin.swin_tiny,
+    "swin_base": _swin.swin_base,
+    "inception_v3": _inception.inception_v3,
 }
 
 

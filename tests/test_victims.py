@@ -94,3 +94,34 @@ class TestLabels:
         assert true_label_from_filename("Abyssinian_12.png") == "Abyssinian"
         assert (true_label_from_filename("american_pit_bull_terrier_3.jpg")
                 == "american_pit_bull_terrier")
+
+
+class TestExtendedZoo:
+    """Shape + grad checks for the remaining reference zoo families."""
+
+    @pytest.mark.parametrize("name,size", [
+        ("convnext_tiny", 64), ("efficientnetv2_s", 64),
+        ("swin_tiny", 224), ("inception_v3", 299),
+    ])
+    def test_forward_shapes(self, name, size):
+        m = make_victim_model(name, num_classes=37)
+        x = jnp.zeros((1, size, size, 3))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        out = jax.jit(m.apply)(v, x)
+        assert out.shape == (1, 37)
+
+    def test_inception_fid_features(self):
+        from advshadow_tpu.victims import inception_v3
+
+        m = inception_v3()
+        x = jnp.zeros((1, 299, 299, 3))
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        feats = jax.jit(lambda v, x: m.apply(v, x, return_features=True))(v, x)
+        assert feats.shape == (1, 2048)
+
+    def test_convnext_input_grads(self):
+        m = make_victim_model("convnext_tiny", num_classes=4)
+        x = jnp.full((1, 32, 32, 3), 0.5)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        g = jax.grad(lambda x: m.apply(v, x).sum())(x)
+        assert np.all(np.isfinite(g)) and float(jnp.abs(g).sum()) > 0
