@@ -78,12 +78,29 @@ def combine_detection_masks(
 
 
 def grabcut_refine(image_bgr: np.ndarray, mask: np.ndarray,
-                   iterations: int = 10) -> np.ndarray:
+                   iterations: int = 10,
+                   backend: str = "native") -> np.ndarray:
     """GrabCut refinement with mask init (ref: mask_for_dataset.py:69-80):
-    mask>0 -> probable-foreground, ==0 -> definite background."""
-    if not _HAS_CV2:
-        return ((mask > 0) * 255).astype(np.uint8)
+    mask>0 -> probable-foreground, ==0 -> definite background.
+
+    ``backend``: "native" (this framework's C++ GMM+Dinic implementation,
+    see native/grabcut.cpp) or "cv2" (OpenCV parity path)."""
     if not (np.any(mask > 0) and np.any(mask == 0)):
+        return ((mask > 0) * 255).astype(np.uint8)
+
+    if backend == "native":
+        from advshadow_tpu.masks import native as _native
+
+        if _native.native_available():
+            gc = np.where(mask > 0, _native.GC_PR_FGD,
+                          _native.GC_BGD).astype(np.uint8)
+            out = _native.native_grabcut(image_bgr, gc,
+                                         iter_count=iterations)
+            fg = (out == _native.GC_FGD) | (out == _native.GC_PR_FGD)
+            return (fg * 255).astype(np.uint8)
+        backend = "cv2"  # fall through
+
+    if not _HAS_CV2:
         return ((mask > 0) * 255).astype(np.uint8)
     gc = mask.copy()
     gc[gc > 0] = cv2.GC_PR_FGD

@@ -48,9 +48,10 @@ def timestep_embedding(
     return embedding
 
 
-def _group_norm(num_groups: int = 32) -> nn.GroupNorm:
+def _group_norm(num_groups: int = 32, dtype=None) -> nn.GroupNorm:
     # torch GroupNorm eps=1e-5 (flax default is 1e-6); match the reference.
-    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5)
+    # GN statistics accumulate in f32 even under bf16 compute.
+    return nn.GroupNorm(num_groups=num_groups, epsilon=1e-5, dtype=dtype)
 
 
 class ResidualBlock(nn.Module):
@@ -59,6 +60,7 @@ class ResidualBlock(nn.Module):
 
     out_channels: int
     dropout: float = 0.0
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -66,24 +68,24 @@ class ResidualBlock(nn.Module):
         self, x: jax.Array, temb: jax.Array, *, deterministic: bool = True
     ) -> jax.Array:
         in_channels = x.shape[-1]
-        h = _group_norm()(x)
+        h = _group_norm(dtype=self.dtype)(x)
         h = nn.silu(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv1")(h)
 
         t = nn.silu(temb)
-        t = nn.Dense(self.out_channels, param_dtype=self.param_dtype,
-                     name="time_proj")(t)
+        t = nn.Dense(self.out_channels, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="time_proj")(t)
         h = h + t[:, None, None, :]
 
-        h = _group_norm()(h)
+        h = _group_norm(dtype=self.dtype)(h)
         h = nn.silu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1,
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     param_dtype=self.param_dtype, name="conv2")(h)
 
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1),
+            x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype,
                         param_dtype=self.param_dtype, name="shortcut")(x)
         return h + x
 
@@ -100,21 +102,23 @@ class AttentionBlock(nn.Module):
 
     num_heads: int = 1
     use_pallas: Optional[bool] = None
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
         assert C % self.num_heads == 0
-        h = _group_norm()(x)
-        qkv = nn.Conv(C * 3, (1, 1), use_bias=False,
+        h = _group_norm(dtype=self.dtype)(x)
+        qkv = nn.Conv(C * 3, (1, 1), use_bias=False, dtype=self.dtype,
                       param_dtype=self.param_dtype, name="qkv")(h)
         q, k, v = jnp.split(qkv.reshape(B, H * W, 3 * C), 3, axis=-1)
         out = spatial_attention(
             q, k, v, num_heads=self.num_heads, use_pallas=self.use_pallas
         )
-        out = out.reshape(B, H, W, C)
-        out = nn.Conv(C, (1, 1), param_dtype=self.param_dtype, name="proj")(out)
+        out = out.reshape(B, H, W, C).astype(x.dtype)
+        out = nn.Conv(C, (1, 1), dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="proj")(out)
         return out + x
 
 
@@ -122,6 +126,7 @@ class Upsample(nn.Module):
     """Nearest x2 (+ optional 3x3 conv). (ref: diff_model.py:129-140)"""
 
     use_conv: bool = True
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -129,8 +134,8 @@ class Upsample(nn.Module):
         B, H, W, C = x.shape
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
         if self.use_conv:
-            x = nn.Conv(C, (3, 3), padding=1, param_dtype=self.param_dtype,
-                        name="conv")(x)
+            x = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv")(x)
         return x
 
 
@@ -138,11 +143,13 @@ class Downsample(nn.Module):
     """Stride-2 conv, or 2x2 average pool. (ref: diff_model.py:143-153)"""
 
     use_conv: bool = True
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.use_conv:
             return nn.Conv(x.shape[-1], (3, 3), strides=2, padding=1,
-                           param_dtype=self.param_dtype, name="conv")(x)
+                           dtype=self.dtype, param_dtype=self.param_dtype,
+                           name="conv")(x)
         return nn.avg_pool(x, (2, 2), strides=(2, 2))

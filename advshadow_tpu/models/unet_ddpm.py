@@ -48,6 +48,7 @@ class UNetModel(nn.Module):
     num_heads: int = 4
     num_classes: Optional[int] = None
     use_pallas_attention: Optional[bool] = None
+    dtype: jnp.dtype = None          # bf16 here = TPU-native AMP
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -73,11 +74,11 @@ class UNetModel(nn.Module):
         time_embed_dim = ch0 * 4
 
         emb = timestep_embedding(timesteps, ch0)
-        emb = nn.Dense(time_embed_dim, param_dtype=self.param_dtype,
-                       name="time_dense1")(emb)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="time_dense1")(emb)
         emb = nn.silu(emb)
-        emb = nn.Dense(time_embed_dim, param_dtype=self.param_dtype,
-                       name="time_dense2")(emb)
+        emb = nn.Dense(time_embed_dim, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="time_dense2")(emb)
 
         if self.num_classes is not None:
             # num_classes + 1 rows: the last row is the CFG null embedding.
@@ -92,18 +93,19 @@ class UNetModel(nn.Module):
             emb = emb + label_emb(y_ix)
 
         def res(h, out_ch, name):
-            return ResidualBlock(out_ch, self.dropout,
+            return ResidualBlock(out_ch, self.dropout, dtype=self.dtype,
                                  param_dtype=self.param_dtype, name=name)(
                 h, emb, deterministic=not train)
 
         def attn(h, name):
             return AttentionBlock(self.num_heads,
                                   use_pallas=self.use_pallas_attention,
+                                  dtype=self.dtype,
                                   param_dtype=self.param_dtype, name=name)(h)
 
         # --- down path ---
-        h = nn.Conv(ch0, (3, 3), padding=1, param_dtype=self.param_dtype,
-                    name="stem")(x)
+        h = nn.Conv(ch0, (3, 3), padding=1, dtype=self.dtype,
+                    param_dtype=self.param_dtype, name="stem")(x)
         hs = [h]
         ds = 1
         for level, mult in enumerate(self.channel_mult):
@@ -113,7 +115,7 @@ class UNetModel(nn.Module):
                     h = attn(h, f"down_{level}_{i}_attn")
                 hs.append(h)
             if level != len(self.channel_mult) - 1:
-                h = Downsample(self.conv_resample,
+                h = Downsample(self.conv_resample, dtype=self.dtype,
                                param_dtype=self.param_dtype,
                                name=f"down_{level}_downsample")(h)
                 hs.append(h)
@@ -133,13 +135,16 @@ class UNetModel(nn.Module):
                 if ds in self.attention_resolutions:
                     h = attn(h, f"up_{level}_{i}_attn")
                 if level and i == self.num_res_blocks:
-                    h = Upsample(self.conv_resample,
+                    h = Upsample(self.conv_resample, dtype=self.dtype,
                                  param_dtype=self.param_dtype,
                                  name=f"up_{level}_upsample")(h)
                     ds //= 2
         assert not hs
 
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="out_norm")(h)
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                         name="out_norm")(h)
         h = nn.silu(h)
+        # final conv always emits f32 (eps predictions feed f32 losses)
         return nn.Conv(self.out_channels, (3, 3), padding=1,
-                       param_dtype=self.param_dtype, name="out_conv")(h)
+                       param_dtype=self.param_dtype, name="out_conv")(
+            h.astype(jnp.float32))

@@ -55,6 +55,7 @@ def main():
         model_channels=32 if small else 64, num_res_blocks=2,
         channel_mult=(1, 2, 2) if small else (1, 2, 2, 2),
         attention_resolutions=(8, 16), num_heads=4, num_classes=37,
+        dtype=None if small else jnp.bfloat16,  # TPU-native AMP
     )
     x0 = jnp.zeros((batch, image_size, image_size, 3))
     t0 = jnp.zeros((batch,), jnp.int32)

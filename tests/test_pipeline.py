@@ -226,3 +226,59 @@ class TestNetworkKwargFiltering:
         m = make_network("unet_ddpm", act="silu", channel=(8, 16),
                          model_channels=16, num_classes=5)
         assert m.model_channels == 16 and m.num_classes == 5
+
+
+class TestNativeGrabCut:
+    """The framework's own C++ GrabCut (GMM + Dinic max-flow)."""
+
+    def _fixture(self):
+        rng = np.random.default_rng(0)
+        h, w = 60, 80
+        img = np.full((h, w, 3), 245, np.uint8)
+        img[15:45, 25:55] = (160, 90, 40)
+        img = (img.astype(np.int16)
+               + rng.integers(-8, 8, img.shape)).clip(0, 255).astype(np.uint8)
+        gt = np.zeros((h, w), bool)
+        gt[15:45, 25:55] = True
+        init = np.zeros((h, w), np.uint8)
+        init[10:50, 20:60] = 255  # loose probable-foreground box
+        return img, init, gt
+
+    def test_native_refine_recovers_object(self):
+        from advshadow_tpu.masks.extract import grabcut_refine
+        from advshadow_tpu.masks.native import native_available
+
+        if not native_available():
+            pytest.skip("g++ build unavailable")
+        img, init, gt = self._fixture()
+        out = grabcut_refine(img, init, iterations=5, backend="native") > 0
+        iou = (out & gt).sum() / (out | gt).sum()
+        assert iou > 0.95
+
+    def test_native_agrees_with_cv2(self):
+        import cv2
+
+        from advshadow_tpu.masks.extract import grabcut_refine
+        from advshadow_tpu.masks.native import native_available
+
+        if not native_available():
+            pytest.skip("g++ build unavailable")
+        img, init, gt = self._fixture()
+        ours = grabcut_refine(img, init, iterations=5, backend="native") > 0
+        cv = grabcut_refine(img, init, iterations=5, backend="cv2") > 0
+        agreement = (ours == cv).mean()
+        assert agreement > 0.95
+
+    def test_hard_labels_respected(self):
+        from advshadow_tpu.masks.native import (GC_BGD, GC_FGD, GC_PR_BGD,
+                                                native_available,
+                                                native_grabcut)
+
+        if not native_available():
+            pytest.skip("g++ build unavailable")
+        img, _, _ = self._fixture()
+        mask = np.full(img.shape[:2], GC_PR_BGD, np.uint8)
+        mask[0, 0] = GC_BGD
+        mask[30, 40] = GC_FGD
+        out = native_grabcut(img, mask, iter_count=2)
+        assert out[0, 0] == GC_BGD and out[30, 40] == GC_FGD
