@@ -1,0 +1,185 @@
+"""Attack CLI — produce adversarially-shadowed (or baseline-attacked)
+image folders for the ASR / PSNR-SSIM / FID evaluation protocols.
+
+Covers the reference's evaluation-side drivers:
+- shadow attack over an image+mask folder (ref: ddim2/test_main.py:69-196,
+  ddim2/main2.py per-image loop) — here chunked through the jitted,
+  vmapped ``batched_optimize_shadow``;
+- FGSM / BIM / PGD baselines (ref: ddim2/adv_test.py:79-110).
+
+Attacked images keep their original filenames so the ASR scripts can
+recover true labels from the name prefix.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from advshadow_tpu.attack import (
+    DIFF2_CONFIG,
+    EVAL_CONFIG,
+    TRAIN_CONFIG,
+    ShadowOptConfig,
+    batched_optimize_shadow,
+    bim_attack,
+    cross_entropy,
+    fgsm_perturbation,
+    pgd_attack,
+)
+from advshadow_tpu.data import ShadowPairDataset
+from advshadow_tpu.utils import get_logger, seed_initializer
+from advshadow_tpu.victims import OXFORD_PET_CLASSES, make_victim_fn, \
+    make_victim_model
+
+logger = get_logger("attack")
+
+PRESETS = {"eval": EVAL_CONFIG, "diff2": DIFF2_CONFIG, "train": TRAIN_CONFIG}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="AdvShadow-TPU attack driver")
+    p.add_argument("--method", type=str, default="shadow",
+                   choices=["shadow", "fgsm", "bim", "pgd"])
+    p.add_argument("--dataset_path", type=str, required=True)
+    p.add_argument("--mask_dir", type=str, default=None,
+                   help="required for the shadow method")
+    p.add_argument("--labels_json", type=str, default=None)
+    p.add_argument("--output_path", type=str, required=True)
+    p.add_argument("--victim", type=str, default="resnet18")
+    p.add_argument("--victim_ckpt", type=str, default=None)
+    p.add_argument("--num_classes", type=int, default=37)
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--targeted", type=bool, default=False,
+                   help="shadow: random wrong target label per image")
+    p.add_argument("--preset", type=str, default="eval",
+                   choices=sorted(PRESETS))
+    p.add_argument("--soft_mask", type=bool, default=True)
+    # baseline attack knobs (ref adv_test.py:106-109)
+    p.add_argument("--epsilon", type=float, default=0.05)
+    p.add_argument("--alpha", type=float, default=0.05)
+    p.add_argument("--num_iterations", type=int, default=10)
+    p.add_argument("--limit", type=int, default=0, help="0 = whole folder")
+    return p
+
+
+def _save_batch(images01: np.ndarray, names, output_path: str):
+    os.makedirs(output_path, exist_ok=True)
+    for img, name in zip(images01, names):
+        arr = np.clip(np.asarray(img) * 255.0, 0, 255).astype(np.uint8)
+        Image.fromarray(arr).save(os.path.join(output_path, name))
+
+
+def run_attack(args) -> dict:
+    rng = seed_initializer(args.seed)
+    victim = make_victim_model(args.victim, num_classes=args.num_classes)
+    if args.victim_ckpt:
+        import pickle
+
+        with open(args.victim_ckpt, "rb") as f:
+            variables = pickle.load(f)
+    else:
+        logger.warning("no --victim_ckpt: randomly initialized victim")
+        variables = jax.jit(victim.init)(
+            rng, jnp.zeros((1, args.image_size, args.image_size, 3)))
+    victim_fn = make_victim_fn(victim, variables)
+
+    dataset = ShadowPairDataset(
+        args.dataset_path, args.mask_dir or args.dataset_path,
+        args.image_size, labels_json=args.labels_json,
+        class_names=OXFORD_PET_CLASSES if args.labels_json else None,
+        seed=args.seed,
+    ) if args.method == "shadow" else None
+
+    import dataclasses
+
+    cfg = PRESETS[args.preset]
+    if args.method == "shadow":
+        cfg = dataclasses.replace(cfg, hard=not args.soft_mask)
+
+    count, t0 = 0, time.time()
+    if args.method == "shadow":
+        n = len(dataset) if args.limit == 0 else min(args.limit, len(dataset))
+        for start in range(0, n, args.batch_size):
+            idx = range(start, min(start + args.batch_size, n))
+            items = [dataset[i] for i in idx]
+            imgs = jnp.asarray(np.stack([it[0] for it in items]))
+            imgs01 = (imgs + 1.0) / 2.0
+            masks = jnp.asarray(np.stack([it[1] for it in items]))
+            labels = jnp.asarray([it[2] for it in items], jnp.int32)
+            names = [it[3] for it in items]
+            rng, a_rng, t_rng = jax.random.split(rng, 3)
+            if args.targeted:
+                offset = jax.random.randint(t_rng, labels.shape, 1,
+                                            args.num_classes)
+                targets = (labels + offset) % args.num_classes
+            else:
+                targets = labels
+            res = batched_optimize_shadow(victim_fn, imgs01, masks, targets,
+                                          a_rng, cfg)
+            _save_batch(np.asarray(res.image), names, args.output_path)
+            count += len(names)
+            logger.info(f"{count}/{n} attacked "
+                        f"({count / (time.time() - t0):.2f} imgs/s)")
+    else:
+        names = sorted(n for n in os.listdir(args.dataset_path)
+                       if n.lower().endswith((".png", ".jpg", ".jpeg")))
+        if args.limit:
+            names = names[: args.limit]
+        for start in range(0, len(names), args.batch_size):
+            chunk = names[start: start + args.batch_size]
+            imgs = []
+            for nme in chunk:
+                with Image.open(os.path.join(args.dataset_path, nme)) as im:
+                    im = im.convert("RGB").resize(
+                        (args.image_size, args.image_size), Image.BILINEAR)
+                    imgs.append(np.asarray(im, np.float32) / 255.0)
+            x = jnp.asarray(np.stack(imgs))
+            rng, a_rng = jax.random.split(rng)
+            if args.method == "fgsm":
+                # self-labeled grad like the reference driver
+                # (ref: adv_test.py:84-92)
+                def loss(xx):
+                    logits = victim_fn(xx)
+                    lbl = jax.lax.stop_gradient(jnp.argmax(logits, -1))
+                    return cross_entropy(logits, lbl)
+
+                g = jax.grad(loss)(x)
+                adv = fgsm_perturbation(x, args.epsilon, g)
+            elif args.method == "bim":
+                adv = bim_attack(victim_fn, x, args.epsilon, args.alpha,
+                                 args.num_iterations)
+            else:
+                adv = pgd_attack(victim_fn, x, args.epsilon, args.alpha,
+                                 args.num_iterations, a_rng)
+            _save_batch(np.asarray(adv), chunk, args.output_path)
+            count += len(chunk)
+            logger.info(f"{count}/{len(names)} attacked")
+
+    dt = time.time() - t0
+    out = {"count": count, "seconds": dt,
+           "imgs_per_sec": count / max(dt, 1e-9),
+           "output_path": args.output_path}
+    logger.info(str(out))
+    return out
+
+
+def main(argv=None):
+    from advshadow_tpu.utils.runtime import runtime_init
+
+    runtime_init()
+    args = build_parser().parse_args(argv)
+    return run_attack(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -282,3 +282,50 @@ class TestNativeGrabCut:
         mask[30, 40] = GC_FGD
         out = native_grabcut(img, mask, iter_count=2)
         assert out[0, 0] == GC_BGD and out[30, 40] == GC_FGD
+
+
+class TestAttackCLI:
+    def test_shadow_attack_folder(self, shadow_dataset, tmp_path):
+        from advshadow_tpu.cli.attack import main as attack_main
+
+        img_dir, mask_dir, labels_json = shadow_dataset
+        out = attack_main([
+            "--method", "shadow", "--dataset_path", img_dir,
+            "--mask_dir", mask_dir, "--labels_json", labels_json,
+            "--output_path", str(tmp_path / "atk"),
+            "--image_size", "16", "--batch_size", "4",
+            "--preset", "train",
+        ])
+        assert out["count"] == 4
+        files = os.listdir(tmp_path / "atk")
+        assert len(files) == 4
+        assert all(f.startswith("Abyssinian_") for f in files)
+
+    def test_baseline_attacks(self, shadow_dataset, tmp_path):
+        from advshadow_tpu.cli.attack import main as attack_main
+
+        img_dir, _, _ = shadow_dataset
+        for method in ("fgsm", "bim", "pgd"):
+            out = attack_main([
+                "--method", method, "--dataset_path", img_dir,
+                "--output_path", str(tmp_path / method),
+                "--image_size", "16", "--batch_size", "4",
+                "--num_iterations", "2",
+            ])
+            assert out["count"] == 4
+
+
+class TestClassifyCLI:
+    def test_folder_predictions_and_gradcam(self, shadow_dataset, tmp_path):
+        from advshadow_tpu.cli.classify import main as classify_main
+
+        img_dir, _, _ = shadow_dataset
+        res = classify_main([
+            "--path", img_dir, "--image_size", "32",
+            "--gradcam", "1", "--output_path", str(tmp_path),
+        ])
+        assert len(res) == 4
+        first = next(iter(res.values()))
+        assert "label" in first and 0 <= first["confidence"] <= 1
+        cams = [f for f in os.listdir(tmp_path) if f.endswith("_gradcam.png")]
+        assert len(cams) == 4
