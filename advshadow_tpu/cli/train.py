@@ -97,6 +97,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--use_gpu", type=int, default=0)
     p.add_argument("--coordinator", type=str, default=None)
     p.add_argument("--process_id", type=int, default=0)
+    p.add_argument("--profile", type=bool, default=False,
+                   help="write a jax.profiler trace for epoch 0 into the "
+                        "run's tensorboard dir")
+    p.add_argument("--debug_nans", type=bool, default=False)
     p.add_argument("--channels", type=str, default=None,
                    help="comma-separated channel list override, e.g. "
                         "'8,16,32,64,128,256' (unet/cspdarkunet)")
@@ -105,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def train(args) -> dict:
     rng = seed_initializer(args.seed)
+    if getattr(args, "debug_nans", False):
+        from advshadow_tpu.utils import enable_nan_debugging
+
+        enable_nan_debugging(True)
     if args.world_size > 1:
         initialize_distributed(args.coordinator, args.world_size,
                                args.process_id)
@@ -173,7 +181,13 @@ def train(args) -> dict:
     sampler = make_sampler(args.sample)
 
     metrics_hist = []
+    profile_ctx = None
     for epoch in range(start_epoch, args.epochs):
+        if getattr(args, "profile", False) and epoch == start_epoch:
+            from advshadow_tpu.utils import trace as _trace
+
+            profile_ctx = _trace(dirs["tb_dir"])
+            profile_ctx.__enter__()
         t0 = time.time()
         losses = []
         for batch in loader:
@@ -184,6 +198,9 @@ def train(args) -> dict:
             state, metrics = step_fn(state, sharded["x"], sharded["y"],
                                      step_rng)
             losses.append(metrics["loss"])
+        if profile_ctx is not None:
+            profile_ctx.__exit__(None, None, None)
+            profile_ctx = None
         mean_loss = float(jnp.mean(jnp.stack(losses))) if losses else np.nan
         dt = time.time() - t0
         logger.info(f"epoch {epoch}: loss={mean_loss:.5f} ({dt:.1f}s, "

@@ -158,3 +158,39 @@ class TestCheckpoint:
         np.testing.assert_allclose(merged["conv"], 1.0)       # kept
         np.testing.assert_allclose(merged["label_emb"], 0.0)  # reset
         np.testing.assert_allclose(merged["head"], 0.0)       # shape-filtered
+
+
+class TestProfiling:
+    def test_step_timer(self):
+        import time as _time
+
+        from advshadow_tpu.utils import StepTimer
+
+        t = StepTimer(items_per_step=4)
+        for _ in range(3):
+            with t:
+                _time.sleep(0.01)
+        s = t.summary()
+        assert s["steps"] == 3 and s["items_per_sec"] > 0
+
+    def test_trace_writes_profile(self, tmp_path):
+        import os
+
+        import jax.numpy as jnp
+
+        from advshadow_tpu.utils import trace
+
+        with trace(str(tmp_path)):
+            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+        found = any("plugins" in r or f for r, d, f in os.walk(tmp_path))
+        assert found
+
+    def test_nan_debug_toggle(self):
+        import jax
+
+        from advshadow_tpu.utils import enable_nan_debugging
+
+        enable_nan_debugging(True)
+        assert jax.config.jax_debug_nans
+        enable_nan_debugging(False)
+        assert not jax.config.jax_debug_nans
