@@ -1,0 +1,210 @@
+"""Golden parity tests against the actual PyTorch reference code.
+
+The reference at /root/reference is imported read-only and its pure-math
+outputs (beta schedules, GaussianDiffusion coefficient tables, q_sample,
+posterior stats, timestep embeddings, DDIM updates) are compared
+bit-for-bit (float32 tolerance) with this framework's implementations —
+the strongest available evidence that the TPU rebuild reproduces the
+reference numerics (SURVEY.md §7 'hard parts').
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from tests.reference_loader import load_reference  # noqa: E402
+
+try:
+    ref_diff, ref_base = load_reference()
+except Exception as e:  # pragma: no cover
+    pytest.skip(f"reference unavailable: {e}", allow_module_level=True)
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from advshadow_tpu.core import make_beta_schedule, make_diffusion, q_posterior, \
+    q_sample  # noqa: E402
+from advshadow_tpu.core.diffusion import predict_x0_from_noise  # noqa: E402
+from advshadow_tpu.models.layers import timestep_embedding  # noqa: E402
+from advshadow_tpu.models.unet_cond import base_pos_encoding  # noqa: E402
+
+T = 200
+
+
+class TestScheduleParity:
+    def test_linear(self):
+        theirs = ref_diff.linear_beta_schedule(T).numpy()
+        ours = make_beta_schedule("linear", T)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-12)
+
+    def test_cosine(self):
+        theirs = ref_diff.cosine_beta_schedule(T).numpy()
+        ours = make_beta_schedule("cosine", T)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-10)
+
+    @pytest.mark.parametrize("name,ref_name", [
+        ("framework_linear", "linear"),
+        ("framework_cosine", "cosine"),
+        ("sqrt_linear", "sqrt_linear"),
+        ("sqrt", "sqrt"),
+    ])
+    def test_framework_schedules(self, name, ref_name):
+        bd = ref_base.BaseDiffusion(noise_steps=T)
+        theirs = bd.prepare_noise_schedule(ref_name).numpy()
+        ours = make_beta_schedule(name, T)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-6, atol=1e-12)
+
+
+class TestCoefficientParity:
+    """Every precomputed table in GaussianDiffusion (ref diff_model.py
+    :286-331) must match."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        gd = ref_diff.GaussianDiffusion(timesteps=T, beta_schedule="cosine")
+        coeffs = make_diffusion(T, "cosine")
+        return gd, coeffs
+
+    @pytest.mark.parametrize("field", [
+        "betas", "alphas", "alphas_cumprod", "alphas_cumprod_prev",
+        "sqrt_alphas_cumprod", "sqrt_one_minus_alphas_cumprod",
+        "log_one_minus_alphas_cumprod", "sqrt_recip_alphas_cumprod",
+        "sqrt_recipm1_alphas_cumprod", "posterior_variance",
+        "posterior_log_variance_clipped", "posterior_mean_coef1",
+        "posterior_mean_coef2",
+    ])
+    def test_table(self, pair, field):
+        gd, coeffs = pair
+        theirs = getattr(gd, field).numpy().astype(np.float32)
+        ours = np.asarray(getattr(coeffs, field))
+        np.testing.assert_allclose(ours, theirs, rtol=2e-5, atol=1e-7)
+
+
+class TestProcessParity:
+    def setup_method(self):
+        self.gd = ref_diff.GaussianDiffusion(timesteps=T, beta_schedule="linear")
+        self.coeffs = make_diffusion(T, "linear")
+        rng = np.random.default_rng(0)
+        # NCHW for torch, NHWC for jax — same values
+        self.x0 = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+        self.noise = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+        self.t = np.array([13, 177])
+
+    def _to_jax(self, a):
+        return jnp.asarray(np.transpose(a, (0, 2, 3, 1)))
+
+    def _to_np(self, a):
+        return np.transpose(np.asarray(a), (0, 3, 1, 2))
+
+    def test_q_sample(self):
+        theirs = self.gd.q_sample(torch.from_numpy(self.x0),
+                                  torch.from_numpy(self.t),
+                                  torch.from_numpy(self.noise)).numpy()
+        ours = q_sample(self.coeffs, self._to_jax(self.x0),
+                        jnp.asarray(self.t), self._to_jax(self.noise))
+        np.testing.assert_allclose(self._to_np(ours), theirs, atol=1e-5)
+
+    def test_posterior(self):
+        xt = self.gd.q_sample(torch.from_numpy(self.x0),
+                              torch.from_numpy(self.t),
+                              torch.from_numpy(self.noise))
+        t_mean, t_var, t_logvar = self.gd.q_posterior_mean_variance(
+            torch.from_numpy(self.x0), xt, torch.from_numpy(self.t))
+        o_mean, o_var, o_logvar = q_posterior(
+            self.coeffs, self._to_jax(self.x0),
+            self._to_jax(xt.numpy()), jnp.asarray(self.t))
+        np.testing.assert_allclose(self._to_np(o_mean), t_mean.numpy(),
+                                   atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(o_var)[:, 0, 0, 0], t_var.numpy()[:, 0, 0, 0],
+            atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(o_logvar)[:, 0, 0, 0], t_logvar.numpy()[:, 0, 0, 0],
+            atol=1e-5)
+
+    def test_predict_start_from_noise(self):
+        xt = self.gd.q_sample(torch.from_numpy(self.x0),
+                              torch.from_numpy(self.t),
+                              torch.from_numpy(self.noise))
+        theirs = self.gd.predict_start_from_noise(
+            xt, torch.from_numpy(self.t), torch.from_numpy(self.noise)).numpy()
+        ours = predict_x0_from_noise(self.coeffs, self._to_jax(xt.numpy()),
+                                     jnp.asarray(self.t),
+                                     self._to_jax(self.noise))
+        np.testing.assert_allclose(self._to_np(ours), theirs, atol=1e-4)
+
+    def test_noise_images_framework(self):
+        """model/samples/base.py noise_images parity (deterministic part)."""
+        bd = ref_base.BaseDiffusion(noise_steps=T)
+        coeffs = make_diffusion(T, "framework_linear")
+        # match alpha_hat tables first
+        np.testing.assert_allclose(np.asarray(coeffs.alphas_cumprod),
+                                   bd.alpha_hat.numpy(), rtol=2e-5)
+        # x_t = sqrt(ah) x + sqrt(1-ah) eps with the SAME eps
+        t = torch.tensor([5, 150])
+        x = torch.from_numpy(self.x0)
+        eps = torch.from_numpy(self.noise)
+        sa = torch.sqrt(bd.alpha_hat[t])[:, None, None, None]
+        so = torch.sqrt(1 - bd.alpha_hat[t])[:, None, None, None]
+        theirs = (sa * x + so * eps).numpy()
+        ours = q_sample(coeffs, self._to_jax(self.x0), jnp.asarray([5, 150]),
+                        self._to_jax(self.noise))
+        np.testing.assert_allclose(self._to_np(ours), theirs, atol=1e-5)
+
+
+class TestEmbeddingParity:
+    def test_timestep_embedding(self):
+        t = torch.tensor([0.0, 1.0, 500.0, 999.0])
+        theirs = ref_diff.timestep_embedding(t, 128).numpy()
+        ours = timestep_embedding(jnp.asarray([0.0, 1.0, 500.0, 999.0]), 128)
+        # f32 cos/exp rounding differs slightly between backends at large t
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+    def test_base_pos_encoding(self):
+        """BaseNet.pos_encoding parity (ref model/networks/base.py:56-68)."""
+        from model.networks.base import BaseNet
+
+        net = BaseNet.__new__(BaseNet)  # skip __init__ (no torch modules)
+        net.device = "cpu"
+        t = torch.tensor([[7.0], [123.0]])
+        theirs = BaseNet.pos_encoding(net, t, 256).numpy()
+        ours = base_pos_encoding(jnp.asarray([7.0, 123.0]), 256)
+        np.testing.assert_allclose(np.asarray(ours), theirs, atol=1e-4)
+
+
+class TestDDIMStepParity:
+    """One full DDIM update must match the reference formula chain with a
+    shared analytic denoiser (ref diff_model.py:445-472)."""
+
+    def test_single_update(self):
+        gd = ref_diff.GaussianDiffusion(timesteps=T, beta_schedule="linear")
+        coeffs = make_diffusion(T, "linear")
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((1, 3, 8, 8)).astype(np.float32)
+        t_cur, t_prev = 101, 81
+
+        def eps_np(xx):
+            return 0.1 * xx
+
+        # torch side (transcribing the reference's update exactly)
+        xt = torch.from_numpy(x)
+        tt = torch.tensor([t_cur])
+        pt = torch.tensor([t_prev])
+        at = gd._extract(gd.alphas_cumprod, tt, xt.shape)
+        ap = gd._extract(gd.alphas_cumprod, pt, xt.shape)
+        eps = 0.1 * xt
+        x0 = torch.clamp((xt - torch.sqrt(1 - at) * eps) / torch.sqrt(at),
+                         -1, 1)
+        dir_xt = torch.sqrt(1 - ap) * eps  # eta = 0
+        theirs = (torch.sqrt(ap) * x0 + dir_xt).numpy()
+
+        from advshadow_tpu.samplers.ddim import _ddim_step
+
+        ours = _ddim_step(
+            coeffs, lambda xx, tb: 0.1 * xx,
+            jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+            t_cur, t_prev, jax.random.PRNGKey(0), eta=0.0,
+            clip_denoised=True)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(ours), (0, 3, 1, 2)), theirs, atol=1e-5)
