@@ -72,6 +72,8 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=choices.optim_choices)
     p.add_argument("--act", type=str, default="gelu",
                    choices=choices.act_choices)
+    p.add_argument("--loss", type=str, default="mse",
+                   choices=choices.loss_choices)
     p.add_argument("--lr", type=float, default=3e-4)
     p.add_argument("--lr_func", type=str, default="linear",
                    choices=choices.lr_func_choices)
@@ -154,7 +156,7 @@ def train(args) -> dict:
     config = TrainConfig(
         lr=args.lr, optim=args.optim, lr_func=args.lr_func,
         epochs=args.epochs, steps_per_epoch=steps_per_epoch,
-        conditional=args.conditional,
+        conditional=args.conditional, loss=getattr(args, "loss", "mse"),
         compute_dtype=jnp.bfloat16 if args.amp else jnp.float32,
     )
 

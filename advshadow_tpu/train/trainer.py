@@ -35,11 +35,34 @@ from advshadow_tpu.core import (
 from advshadow_tpu.train.lr import make_lr_schedule
 
 __all__ = ["TrainConfig", "TrainState", "make_optimizer", "create_train_state",
-           "make_train_step", "ema_update", "OPTIMIZERS"]
+           "make_train_step", "ema_update", "OPTIMIZERS", "LOSSES",
+           "make_loss_fn"]
 
 #: optimizer registry (working equivalent of the missing ``config.choices``
 #: optimizer list, ref: utils/initializer.py:145-153)
 OPTIMIZERS = ("adam", "adamw", "sgd")
+
+#: loss registry (ref: utils/initializer.py:115-130 loss_initializer)
+LOSSES = ("mse", "l1", "huber", "smooth_l1")
+
+
+def make_loss_fn(name: str):
+    import jax.numpy as _jnp
+
+    def _err(noise, pred):
+        return pred.astype(_jnp.float32) - noise.astype(_jnp.float32)
+
+    if name == "mse":
+        return lambda n, p: _jnp.mean(_jnp.square(_err(n, p)))
+    if name == "l1":
+        return lambda n, p: _jnp.mean(_jnp.abs(_err(n, p)))
+    if name in ("huber", "smooth_l1"):  # torch SmoothL1/Huber, delta=1
+        def fn(n, p):
+            e = _jnp.abs(_err(n, p))
+            return _jnp.mean(_jnp.where(e < 1.0, 0.5 * e * e, e - 0.5))
+
+        return fn
+    raise ValueError(f"unknown loss {name!r}; choices: {LOSSES}")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -54,6 +77,7 @@ class TrainConfig:
     ema_beta: float = 0.995
     ema_start: int = 2000                 # step_start_ema
     timestep_low: int = 1                 # vendored framework draws [1, T)
+    loss: str = "mse"                     # mse|l1|huber (loss_initializer)
     compute_dtype: Any = jnp.float32      # jnp.bfloat16 for AMP-equivalent
 
 
@@ -121,6 +145,7 @@ def make_train_step(
     unconditional).  Call with a batch sharded over the mesh 'data' axis.
     """
     T = coeffs.num_timesteps
+    loss_metric = make_loss_fn(config.loss)
 
     def loss_fn(params, apply_fn, images, labels, t, noise, drop):
         x_t = q_sample(coeffs, images, t, noise)
@@ -131,7 +156,7 @@ def make_train_step(
             pred = apply_fn(params, x_t, t, y)
         else:
             pred = apply_fn(params, x_t, t)
-        return mse_eps_loss(noise, pred)
+        return loss_metric(noise, pred)
 
     @partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step_fn(state: TrainState, images, labels, rng):

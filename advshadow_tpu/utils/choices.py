@@ -16,6 +16,7 @@ sample_choices = ["ddpm", "ddim", "plms"]
 network_choices = ["unet", "cspdarkunet", "unet_ddpm"]
 sr_network_choices = ["srv1"]
 optim_choices = ["adam", "adamw", "sgd"]
+loss_choices = ["mse", "l1", "huber", "smooth_l1"]
 act_choices = ["gelu", "silu", "relu", "relu6", "lrelu"]
 lr_func_choices = ["linear", "cosine", "warmup_cosine"]
 image_format_choices = ["png", "jpg"]
@@ -25,7 +26,7 @@ parallel_choices = ["dp"]  # tp/pp hooks exist on the mesh; dp is wired
 
 __all__ = [
     "bool_choices", "sample_choices", "network_choices",
-    "sr_network_choices", "optim_choices", "act_choices",
+    "sr_network_choices", "optim_choices", "loss_choices", "act_choices",
     "lr_func_choices", "image_format_choices", "noise_schedule_choices",
     "parallel_choices",
 ]

@@ -329,3 +329,19 @@ class TestClassifyCLI:
         assert "label" in first and 0 <= first["confidence"] <= 1
         cams = [f for f in os.listdir(tmp_path) if f.endswith("_gradcam.png")]
         assert len(cams) == 4
+
+
+class TestUnconditionalPipeline:
+    def test_unconditional_ddpm_family(self, dataset, tmp_path):
+        """The diff_model.py:487-575 pretraining path: unconditional
+        UNetModel + cosine schedule + DDPM sampling via the same CLI."""
+        from advshadow_tpu.cli.train import main as train_main
+
+        out = train_main([
+            "--dataset_path", dataset, "--result_path", str(tmp_path / "u"),
+            "--run_name", "uncond", "--conditional", "",
+            "--network", "unet_ddpm", "--noise_schedule", "cosine",
+            "--sample", "ddim", "--vis", "",
+            "--image_size", "16", "--batch_size", "4", "--epochs", "1",
+        ])
+        assert np.isfinite(out["loss"][-1])

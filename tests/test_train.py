@@ -194,3 +194,18 @@ class TestProfiling:
         assert jax.config.jax_debug_nans
         enable_nan_debugging(False)
         assert not jax.config.jax_debug_nans
+
+
+class TestLossRegistry:
+    def test_losses(self):
+        import jax.numpy as jnp
+
+        from advshadow_tpu.train.trainer import make_loss_fn
+
+        n = jnp.zeros((2, 2))
+        p = jnp.full((2, 2), 2.0)
+        assert float(make_loss_fn("mse")(n, p)) == pytest.approx(4.0)
+        assert float(make_loss_fn("l1")(n, p)) == pytest.approx(2.0)
+        assert float(make_loss_fn("huber")(n, p)) == pytest.approx(1.5)
+        with pytest.raises(ValueError):
+            make_loss_fn("bogus")
