@@ -93,6 +93,7 @@ def classify(args) -> dict:
         out_dir = args.output_path or (
             args.path if os.path.isdir(args.path)
             else os.path.dirname(args.path) or ".")
+        os.makedirs(out_dir, exist_ok=True)
         cam_fn = make_resnet_cam_fn(model, variables)
         cams = grad_cam(cam_fn, x)
         for name, img, cam in zip(names, imgs, np.asarray(cams)):
