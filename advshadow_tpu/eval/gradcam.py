@@ -73,6 +73,17 @@ def show_cam_on_image(image: jax.Array, cam: jax.Array,
     return jnp.clip(alpha * heat + (1 - alpha) * image, 0.0, 1.0)
 
 
+def shift_and_blend_heatmap(
+    image: jax.Array, cam: jax.Array, dx: int = 0, dy: int = 0,
+    alpha: float = 0.5,
+) -> jax.Array:
+    """Shift a heatmap and blend it over the image — the reference's
+    visualization toy (ref: ddim2/try.py:5-37). Out-of-frame regions
+    roll around, matching np.roll semantics."""
+    shifted = jnp.roll(cam, (dy, dx), axis=(0, 1))
+    return show_cam_on_image(image, shifted, alpha)
+
+
 def _jet(x: jax.Array) -> jax.Array:
     r = jnp.clip(1.5 - jnp.abs(4 * x - 3), 0, 1)
     g = jnp.clip(1.5 - jnp.abs(4 * x - 2), 0, 1)

@@ -27,17 +27,18 @@ class SelfAttention(nn.Module):
     num_heads: int = 4
     act: str = "silu"
     use_pallas: Optional[bool] = None
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
         tokens = x.reshape(B, H * W, C)
-        x_ln = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype,
+        x_ln = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
                             name="ln")(tokens)
 
         # Shared in-projection (torch MHA packs q/k/v into one matrix).
-        qkv = nn.Dense(3 * C, param_dtype=self.param_dtype, name="qkv")(x_ln)
+        qkv = nn.Dense(3 * C, dtype=self.dtype, param_dtype=self.param_dtype, name="qkv")(x_ln)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         d = C // self.num_heads
@@ -51,13 +52,13 @@ class SelfAttention(nn.Module):
             use_pallas = attn_ops._use_pallas_auto(H * W, d)
         out = attn_ops._attention(qh, kh, vh, d ** -0.25, bool(use_pallas))
         out = attn_ops._merge_heads(out, B, self.num_heads)
-        out = nn.Dense(C, param_dtype=self.param_dtype, name="out_proj")(out)
+        out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj")(out)
 
         h = out + tokens
-        ff = nn.LayerNorm(epsilon=1e-5, param_dtype=self.param_dtype,
+        ff = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, param_dtype=self.param_dtype,
                           name="ff_ln")(h)
-        ff = nn.Dense(C, param_dtype=self.param_dtype, name="ff1")(ff)
+        ff = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="ff1")(ff)
         ff = get_activation(self.act)(ff)
-        ff = nn.Dense(C, param_dtype=self.param_dtype, name="ff2")(ff)
+        ff = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="ff2")(ff)
         h = ff + h
         return h.reshape(B, H, W, C)

@@ -45,9 +45,10 @@ def get_activation(name: str = "silu"):
     return _ACTS.get(name, nn.silu)
 
 
-def _gn1():
+def _gn1(dtype=None):
     # GroupNorm(num_groups=1) == LayerNorm over (H, W, C); torch eps 1e-5.
-    return nn.GroupNorm(num_groups=1, epsilon=1e-5)
+    # Norm statistics accumulate in f32 even under bf16 compute.
+    return nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=dtype)
 
 
 class DoubleConv(nn.Module):
@@ -58,6 +59,7 @@ class DoubleConv(nn.Module):
     mid_channels: Optional[int] = None
     residual: bool = False
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -65,12 +67,12 @@ class DoubleConv(nn.Module):
         act = get_activation(self.act)
         mid = self.mid_channels or self.out_channels
         h = nn.Conv(mid, (3, 3), padding=1, use_bias=False,
-                    param_dtype=self.param_dtype, name="conv1")(x)
-        h = _gn1()(h)
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="conv1")(x)
+        h = _gn1(self.dtype)(h)
         h = act(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
-                    param_dtype=self.param_dtype, name="conv2")(h)
-        h = _gn1()(h)
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="conv2")(h)
+        h = _gn1(self.dtype)(h)
         if self.residual:
             return act(x + h)
         return h
@@ -85,6 +87,7 @@ class BaseConv(nn.Module):
     groups: int = 1
     use_bias: bool = False
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -93,9 +96,9 @@ class BaseConv(nn.Module):
         h = nn.Conv(
             self.out_channels, (self.kernel_size, self.kernel_size),
             strides=self.stride, padding=pad, feature_group_count=self.groups,
-            use_bias=self.use_bias, param_dtype=self.param_dtype, name="conv",
+            use_bias=self.use_bias, dtype=self.dtype, param_dtype=self.param_dtype, name="conv",
         )(x)
-        return get_activation(self.act)(_gn1()(h))
+        return get_activation(self.act)(_gn1(self.dtype)(h))
 
 
 class Bottleneck(nn.Module):
@@ -105,15 +108,16 @@ class Bottleneck(nn.Module):
     shortcut: bool = True
     expansion: float = 0.5
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         mid = int(self.out_channels * self.expansion)
-        y = BaseConv(mid, 1, 1, act=self.act, param_dtype=self.param_dtype,
+        y = BaseConv(mid, 1, 1, act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="conv1")(x)
         y = BaseConv(self.out_channels, 3, 1, act=self.act,
-                     param_dtype=self.param_dtype, name="conv2")(y)
+                     dtype=self.dtype, param_dtype=self.param_dtype, name="conv2")(y)
         if self.shortcut and x.shape[-1] == self.out_channels:
             y = y + x
         return y
@@ -125,12 +129,13 @@ class SPPFBottleneck(nn.Module):
     out_channels: int
     kernel_size: int = 5
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         mid = x.shape[-1] // 2
-        x = BaseConv(mid, 1, 1, act=self.act, param_dtype=self.param_dtype,
+        x = BaseConv(mid, 1, 1, act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
                      name="conv1")(x)
         k = self.kernel_size
         pool = lambda h: nn.max_pool(h, (k, k), strides=(1, 1),
@@ -140,7 +145,7 @@ class SPPFBottleneck(nn.Module):
         y3 = pool(y2)
         cat = jnp.concatenate([x, y1, y2, y3], axis=-1)
         return BaseConv(self.out_channels, 1, 1, act=self.act,
-                        param_dtype=self.param_dtype, name="conv2")(cat)
+                        dtype=self.dtype, param_dtype=self.param_dtype, name="conv2")(cat)
 
 
 class CSPLayer(nn.Module):
@@ -151,22 +156,23 @@ class CSPLayer(nn.Module):
     shortcut: bool = True
     expansion: float = 0.5
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         mid = int(self.out_channels * self.expansion)
-        x1 = BaseConv(mid, 1, 1, act=self.act, param_dtype=self.param_dtype,
+        x1 = BaseConv(mid, 1, 1, act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
                       name="conv1")(x)
-        x2 = BaseConv(mid, 1, 1, act=self.act, param_dtype=self.param_dtype,
+        x2 = BaseConv(mid, 1, 1, act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
                       name="conv2")(x)
         for i in range(self.n):
             x1 = Bottleneck(mid, shortcut=self.shortcut, expansion=1.0,
-                            act=self.act, param_dtype=self.param_dtype,
+                            act=self.act, dtype=self.dtype, param_dtype=self.param_dtype,
                             name=f"m_{i}")(x1)
         cat = jnp.concatenate([x1, x2], axis=-1)
         return BaseConv(self.out_channels, 1, 1, act=self.act,
-                        param_dtype=self.param_dtype, name="conv3")(cat)
+                        dtype=self.dtype, param_dtype=self.param_dtype, name="conv3")(cat)
 
 
 class DenseModule(nn.Module):
@@ -174,22 +180,24 @@ class DenseModule(nn.Module):
 
     out_channels: int
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         y = nn.Conv(self.out_channels, (3, 3), padding=1, use_bias=False,
-                    param_dtype=self.param_dtype, name="conv")(x)
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
         y = get_activation(self.act)(y)
         return jnp.concatenate([x, y], axis=-1)
 
 
 def _time_emb_add(h: jax.Array, temb: jax.Array, act_name: str,
-                  param_dtype, name: str) -> jax.Array:
+                  param_dtype, name: str, dtype=None) -> jax.Array:
     """SiLU-Linear(time) broadcast-added over the spatial map
     (ref: model/modules/block.py:36-48)."""
     t = nn.silu(temb)
-    t = nn.Dense(h.shape[-1], param_dtype=param_dtype, name=name)(t)
+    t = nn.Dense(h.shape[-1], dtype=dtype, param_dtype=param_dtype,
+                 name=name)(t)
     return h + t[:, None, None, :]
 
 
@@ -199,16 +207,18 @@ class DownBlock(nn.Module):
 
     out_channels: int
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         h = nn.max_pool(x, (2, 2), strides=(2, 2))
         h = DoubleConv(h.shape[-1], residual=True, act=self.act,
-                       param_dtype=self.param_dtype, name="dc1")(h)
+                       dtype=self.dtype, param_dtype=self.param_dtype, name="dc1")(h)
         h = DoubleConv(self.out_channels, act=self.act,
-                       param_dtype=self.param_dtype, name="dc2")(h)
-        return _time_emb_add(h, temb, self.act, self.param_dtype, "emb")
+                       dtype=self.dtype, param_dtype=self.param_dtype, name="dc2")(h)
+        return _time_emb_add(h, temb, self.act, self.param_dtype, "emb",
+                             dtype=self.dtype)
 
 
 class UpBlock(nn.Module):
@@ -217,6 +227,7 @@ class UpBlock(nn.Module):
 
     out_channels: int
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -228,10 +239,11 @@ class UpBlock(nn.Module):
         h = jnp.concatenate([skip, x], axis=-1)
         in_ch = h.shape[-1]
         h = DoubleConv(in_ch, residual=True, act=self.act,
-                       param_dtype=self.param_dtype, name="dc1")(h)
+                       dtype=self.dtype, param_dtype=self.param_dtype, name="dc1")(h)
         h = DoubleConv(self.out_channels, mid_channels=in_ch // 2, act=self.act,
-                       param_dtype=self.param_dtype, name="dc2")(h)
-        return _time_emb_add(h, temb, self.act, self.param_dtype, "emb")
+                       dtype=self.dtype, param_dtype=self.param_dtype, name="dc2")(h)
+        return _time_emb_add(h, temb, self.act, self.param_dtype, "emb",
+                             dtype=self.dtype)
 
 
 def _bilinear_align_corners(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
@@ -264,15 +276,17 @@ class CSPDarkDownBlock(nn.Module):
     out_channels: int
     n: int = 1
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, temb: jax.Array) -> jax.Array:
         h = BaseConv(self.out_channels, 3, 2, act=self.act,
-                     param_dtype=self.param_dtype, name="conv")(x)
+                     dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
         h = CSPLayer(self.out_channels, n=self.n, act=self.act,
-                     param_dtype=self.param_dtype, name="csp")(h)
-        return _time_emb_add(h, temb, self.act, self.param_dtype, "emb")
+                     dtype=self.dtype, param_dtype=self.param_dtype, name="csp")(h)
+        return _time_emb_add(h, temb, self.act, self.param_dtype, "emb",
+                             dtype=self.dtype)
 
 
 class CSPDarkUpBlock(nn.Module):
@@ -288,20 +302,22 @@ class CSPDarkUpBlock(nn.Module):
     out_channels: int
     n: int = 1
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, skip: jax.Array, temb: jax.Array) -> jax.Array:
         h = BaseConv(self.out_channels, 1, 1, act=self.act,
-                     param_dtype=self.param_dtype, name="conv")(x)
+                     dtype=self.dtype, param_dtype=self.param_dtype, name="conv")(x)
         B, H, W, C = h.shape
         h = jax.image.resize(h, (B, H * 2, W * 2, C), method="nearest")
         h = jnp.concatenate([skip, h], axis=-1)
         h = BaseConv(self.out_channels, 1, 1, act=self.act,
-                     param_dtype=self.param_dtype, name="conv_post")(h)
+                     dtype=self.dtype, param_dtype=self.param_dtype, name="conv_post")(h)
         h = CSPLayer(self.out_channels, n=self.n, shortcut=False, act=self.act,
-                     param_dtype=self.param_dtype, name="csp")(h)
-        return _time_emb_add(h, temb, self.act, self.param_dtype, "emb")
+                     dtype=self.dtype, param_dtype=self.param_dtype, name="csp")(h)
+        return _time_emb_add(h, temb, self.act, self.param_dtype, "emb",
+                             dtype=self.dtype)
 
 
 class ResidualDenseBlock(nn.Module):
@@ -311,6 +327,7 @@ class ResidualDenseBlock(nn.Module):
     out_channels: int
     n: int = 1
     act: str = "silu"
+    dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -319,7 +336,7 @@ class ResidualDenseBlock(nn.Module):
         y = x
         for i in range(self.n):
             y = DenseModule(self.out_channels, act=self.act,
-                            param_dtype=self.param_dtype, name=f"dense_{i}")(y)
+                            dtype=self.dtype, param_dtype=self.param_dtype, name=f"dense_{i}")(y)
         y = nn.Conv(in_ch, (1, 1), use_bias=False,
-                    param_dtype=self.param_dtype, name="fuse")(y)
+                    dtype=self.dtype, param_dtype=self.param_dtype, name="fuse")(y)
         return x + y

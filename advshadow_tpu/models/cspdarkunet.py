@@ -40,15 +40,17 @@ class CSPDarkUnet(_CondNet):
         temb = self.cond_embedding(time, y, x.shape[0])
 
         sa = lambda name: SelfAttention(
-            act=self.act, use_pallas=self.use_pallas,
+            act=self.act, use_pallas=self.use_pallas, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
         down = lambda ch, n, name: CSPDarkDownBlock(
-            ch, n=n, act=self.act, param_dtype=self.param_dtype, name=name)
+            ch, n=n, act=self.act, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
         up = lambda ch, n, name: CSPDarkUpBlock(
-            ch, n=n, act=self.act, param_dtype=self.param_dtype, name=name)
+            ch, n=n, act=self.act, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
 
-        x1 = BaseConv(c[0], 1, 1, act=self.act, param_dtype=self.param_dtype,
-                      name="inc")(x)
+        x1 = BaseConv(c[0], 1, 1, act=self.act, dtype=self.dtype,
+                      param_dtype=self.param_dtype, name="inc")(x)
         x2 = sa("sa1")(down(c[1], 1, "down1")(x1, temb))
         x3 = sa("sa2")(down(c[2], 3, "down2")(x2, temb))
         x4 = sa("sa3")(down(c[3], 3, "down3")(x3, temb))
@@ -59,4 +61,4 @@ class CSPDarkUnet(_CondNet):
         h = sa("sa7")(up(c[1], 3, "up3")(h, x2, temb))
         h = sa("sa8")(up(c[0], 3, "up4")(h, x1, temb))
         return nn.Conv(self.out_channel, (1, 1), param_dtype=self.param_dtype,
-                       name="outc")(h)
+                       name="outc")(h.astype(jnp.float32))

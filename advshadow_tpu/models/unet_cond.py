@@ -42,6 +42,7 @@ class _CondNet(nn.Module):
 
     time_channel: int = 256
     num_classes: Optional[int] = None
+    dtype: jnp.dtype = None          # bf16 here = TPU-native AMP
     param_dtype: jnp.dtype = jnp.float32
 
     def cond_embedding(self, time: jax.Array, y: Optional[jax.Array],
@@ -82,14 +83,17 @@ class UNet(_CondNet):
         temb = self.cond_embedding(time, y, x.shape[0])
 
         dc = lambda ch, name, **kw: DoubleConv(
-            ch, act=self.act, param_dtype=self.param_dtype, name=name, **kw)
+            ch, act=self.act, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name, **kw)
         sa = lambda name: SelfAttention(
-            act=self.act, use_pallas=self.use_pallas,
+            act=self.act, use_pallas=self.use_pallas, dtype=self.dtype,
             param_dtype=self.param_dtype, name=name)
         down = lambda ch, name: DownBlock(
-            ch, act=self.act, param_dtype=self.param_dtype, name=name)
+            ch, act=self.act, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
         up = lambda ch, name: UpBlock(
-            ch, act=self.act, param_dtype=self.param_dtype, name=name)
+            ch, act=self.act, dtype=self.dtype,
+            param_dtype=self.param_dtype, name=name)
 
         x1 = dc(c[1], "inc")(x)
         x2 = down(c[2], "down1")(x1, temb)
@@ -109,5 +113,6 @@ class UNet(_CondNet):
         h = sa("sa5")(h)
         h = up(c[1], "up3")(h, x1, temb)
         h = sa("sa6")(h)
+        # final conv emits f32 (eps predictions feed f32 losses)
         return nn.Conv(self.out_channel, (1, 1), param_dtype=self.param_dtype,
-                       name="outc")(h)
+                       name="outc")(h.astype(jnp.float32))

@@ -2,16 +2,20 @@
 
 Pipeline under test (the reference's core workload, SURVEY.md §6):
   1. conditional DDIM-50 sampling (CFG, fused 2N forward) with the
-     flagship UNet at 64x64, and
+     flagship UNet (bf16 compute) at 64x64, and
   2. the full adversarial shadow attack (EVAL preset: 11 outer iters x
      10 IG iters x 21-point path integral against a ResNet-18 victim),
      vmapped over the batch and jitted as one region.
+
+Multi-chip: with more than one device the batch is sharded over the mesh
+'data' axis and the same jitted pipeline runs SPMD.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "imgs/sec/chip", "vs_baseline": N}
 
 vs_baseline is measured against the driver-set north star of 5k
 generations/min on a v5e-8 == 10.417 imgs/sec/chip (BASELINE.md).
+Per-phase timings go to stderr.
 """
 
 import json
@@ -33,29 +37,32 @@ def log(msg):
 
 def main():
     from advshadow_tpu.utils.runtime import runtime_init
+
     runtime_init()
     small = os.environ.get("BENCH_SMALL", "0") == "1"
-    batch = 8 if small else 64
+    n_chips = jax.device_count()
+    batch = (8 if small else 64) * n_chips
     image_size = 32 if small else 64
     ddim_steps = 10 if small else 50
 
-    from advshadow_tpu.attack import EVAL_CONFIG, ShadowOptConfig, batched_optimize_shadow
+    from advshadow_tpu.attack import EVAL_CONFIG, ShadowOptConfig, \
+        batched_optimize_shadow
     from advshadow_tpu.core import make_diffusion
     from advshadow_tpu.models import UNetModel
+    from advshadow_tpu.parallel import make_mesh, replicate, shard_batch
     from advshadow_tpu.samplers import ddim_sample, make_denoise_fn
     from advshadow_tpu.victims import make_victim_fn, make_victim_model
 
-    n_chips = jax.device_count()
-    log(f"devices: {jax.devices()} ({n_chips} chips)")
-
+    log(f"devices: {jax.devices()} ({n_chips} chips), batch {batch}")
     rng = jax.random.PRNGKey(0)
+    mesh = make_mesh() if n_chips > 1 else None
 
-    # --- flagship conditional denoiser ---
+    # --- flagship conditional denoiser (bf16 = TPU-native AMP) ---
     model = UNetModel(
         model_channels=32 if small else 64, num_res_blocks=2,
         channel_mult=(1, 2, 2) if small else (1, 2, 2, 2),
         attention_resolutions=(8, 16), num_heads=4, num_classes=37,
-        dtype=None if small else jnp.bfloat16,  # TPU-native AMP
+        dtype=None if small else jnp.bfloat16,
     )
     x0 = jnp.zeros((batch, image_size, image_size, 3))
     t0 = jnp.zeros((batch,), jnp.int32)
@@ -80,13 +87,19 @@ def main():
                                   inner_steps=4) if small else EVAL_CONFIG)
     masks = jnp.ones((batch, image_size, image_size))
     targets = (y + 1) % 37
+    if mesh is not None:
+        sharded = shard_batch({"masks": masks, "targets": targets}, mesh)
+        masks, targets = sharded["masks"], sharded["targets"]
+        params = replicate(params, mesh)
+        vparams = replicate(vparams, mesh)
+
+    def attack(imgs, key):
+        imgs01 = (jnp.clip(imgs, -1, 1) + 1) / 2
+        return batched_optimize_shadow(victim_fn, imgs01, masks, targets,
+                                       key, attack_cfg).image
 
     def pipeline(key):
-        imgs = generate(key)                      # [-1,1]
-        imgs01 = (jnp.clip(imgs, -1, 1) + 1) / 2  # attack space [0,1]
-        res = batched_optimize_shadow(victim_fn, imgs01, masks, targets,
-                                      key, attack_cfg)
-        return res.image
+        return attack(generate(key), key)
 
     # warmup/compile
     log("compiling...")
@@ -95,13 +108,24 @@ def main():
     out.block_until_ready()
     log(f"compile+first run: {time.time() - tc:.1f}s")
 
-    # timed runs
+    # per-phase timing (stderr only)
+    tg = time.time()
+    imgs = generate(jax.random.PRNGKey(2))
+    imgs.block_until_ready()
+    tg = time.time() - tg
+    ta = time.time()
+    attack(imgs, jax.random.PRNGKey(3)).block_until_ready()
+    ta = time.time() - ta
+    log(f"phase timing: generate {tg:.2f}s ({batch / tg:.1f}/s), "
+        f"attack {ta:.2f}s ({batch / ta:.1f}/s)")
+
+    # timed end-to-end runs
     reps = 2 if small else 3
-    t0_ = time.time()
+    t1 = time.time()
     for i in range(reps):
         out = pipeline(jax.random.fold_in(rng, i))
     out.block_until_ready()
-    dt = time.time() - t0_
+    dt = time.time() - t1
 
     imgs_per_sec = batch * reps / dt
     per_chip = imgs_per_sec / n_chips
