@@ -19,7 +19,8 @@ from typing import Dict, Mapping, Tuple
 
 import numpy as np
 
-__all__ = ["convert_conv", "convert_linear", "port_resnet", "port_vgg"]
+__all__ = ["convert_conv", "convert_linear", "port_resnet", "port_vgg",
+           "port_generic", "port_inception", "port_vit"]
 
 Array = np.ndarray
 
@@ -101,3 +102,147 @@ def port_vgg(sd: Mapping[str, Array]) -> Dict[str, Dict]:
             "bias": np.asarray(sd[f"classifier.{torch_idx}.bias"]),
         }
     return {"params": params}
+
+
+def _nest(tree: Dict, path, leaf_key: str, value: Array) -> None:
+    node = tree
+    for part in path:
+        node = node.setdefault(part, {})
+    node[leaf_key] = value
+
+
+def port_generic(
+    sd: Mapping[str, Array],
+    rename=None,
+) -> Dict[str, Dict]:
+    """Generic torch state_dict -> flax variables converter.
+
+    Works for any flax model whose module names mirror the torch dotted
+    paths (this framework's InceptionV3 does exactly that). Rules:
+    - a prefix with ``running_mean`` is a BatchNorm: weight/bias ->
+      scale/bias params, running stats -> batch_stats;
+    - 4-D ``weight`` -> conv kernel [O,I,kh,kw] -> [kh,kw,I,O];
+    - 2-D ``weight`` -> dense kernel transposed;
+    - 1-D ``weight`` (no running stats) -> LayerNorm scale;
+    - ``bias`` -> bias.
+    ``rename`` optionally maps each torch path segment list to the flax
+    one (e.g. 'layer1.0' -> 'layer1_0').
+    """
+    params: Dict = {}
+    stats: Dict = {}
+    bn_prefixes = {
+        k[: -len(".running_mean")] for k in sd if k.endswith(".running_mean")
+    }
+
+    for key, raw in sd.items():
+        if key.endswith(("num_batches_tracked",)):
+            continue
+        value = np.asarray(raw)
+        parts = key.split(".")
+        prefix, leaf = ".".join(parts[:-1]), parts[-1]
+        path = rename(parts[:-1]) if rename else parts[:-1]
+        if prefix in bn_prefixes:
+            if leaf == "weight":
+                _nest(params, path, "scale", value)
+            elif leaf == "bias":
+                _nest(params, path, "bias", value)
+            elif leaf == "running_mean":
+                _nest(stats, path, "mean", value)
+            elif leaf == "running_var":
+                _nest(stats, path, "var", value)
+            continue
+        if leaf == "weight":
+            if value.ndim == 4:
+                _nest(params, path, "kernel", convert_conv(value))
+            elif value.ndim == 2:
+                _nest(params, path, "kernel", convert_linear(value))
+            else:
+                _nest(params, path, "scale", value)  # LayerNorm
+        elif leaf == "bias":
+            _nest(params, path, "bias", value)
+        else:
+            _nest(params, path, leaf, value)
+    out: Dict[str, Dict] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def port_inception(sd: Mapping[str, Array]) -> Dict[str, Dict]:
+    """torchvision inception_v3 -> :class:`...victims.inception.InceptionV3`
+    (module names already mirror torchvision; aux-logits keys dropped)."""
+    filtered = {k: v for k, v in sd.items() if not k.startswith("AuxLogits")}
+    return port_generic(filtered)
+
+
+def port_vit(sd: Mapping[str, Array]) -> Dict[str, Dict]:
+    """timm ViT state_dict -> :class:`...victims.vit.ViT`.
+
+    timm names: patch_embed.proj, cls_token, pos_embed,
+    blocks.N.{norm1,attn.qkv,attn.proj,norm2,mlp.fc1,mlp.fc2}, norm, head.
+    The fused qkv splits into flax MultiHeadDotProductAttention's
+    query/key/value projections with [in, heads, head_dim] kernels.
+    """
+    params: Dict = {}
+    params["patch_embed"] = {
+        "kernel": convert_conv(np.asarray(sd["patch_embed.proj.weight"])),
+        "bias": np.asarray(sd["patch_embed.proj.bias"]),
+    }
+    params["cls_token"] = np.asarray(sd["cls_token"])
+    params["pos_embed"] = np.asarray(sd["pos_embed"])
+
+    n_blocks = 1 + max(
+        int(k.split(".")[1]) for k in sd if k.startswith("blocks.")
+    )
+    hidden = params["cls_token"].shape[-1]
+    # infer head count from the model the params feed; caller reshapes via
+    # flax's [in, heads, head_dim] convention:
+    for i in range(n_blocks):
+        t = f"blocks.{i}"
+        blk: Dict = {
+            "ln1": {"scale": np.asarray(sd[f"{t}.norm1.weight"]),
+                    "bias": np.asarray(sd[f"{t}.norm1.bias"])},
+            "ln2": {"scale": np.asarray(sd[f"{t}.norm2.weight"]),
+                    "bias": np.asarray(sd[f"{t}.norm2.bias"])},
+            "mlp1": {"kernel": convert_linear(np.asarray(sd[f"{t}.mlp.fc1.weight"])),
+                     "bias": np.asarray(sd[f"{t}.mlp.fc1.bias"])},
+            "mlp2": {"kernel": convert_linear(np.asarray(sd[f"{t}.mlp.fc2.weight"])),
+                     "bias": np.asarray(sd[f"{t}.mlp.fc2.bias"])},
+        }
+        qkv_w = np.asarray(sd[f"{t}.attn.qkv.weight"])  # [3H, H]
+        qkv_b = np.asarray(sd[f"{t}.attn.qkv.bias"])
+        wq, wk, wv = np.split(qkv_w, 3, axis=0)
+        bq, bk, bv = np.split(qkv_b, 3, axis=0)
+        blk["attn"] = {
+            "query": _mha_in_proj(wq, bq, hidden),
+            "key": _mha_in_proj(wk, bk, hidden),
+            "value": _mha_in_proj(wv, bv, hidden),
+            "out": _mha_out_proj(
+                np.asarray(sd[f"{t}.attn.proj.weight"]),
+                np.asarray(sd[f"{t}.attn.proj.bias"]), hidden),
+        }
+        params[f"block{i}"] = blk
+    params["ln"] = {"scale": np.asarray(sd["norm.weight"]),
+                    "bias": np.asarray(sd["norm.bias"])}
+    params["head"] = {"kernel": convert_linear(np.asarray(sd["head.weight"])),
+                      "bias": np.asarray(sd["head.bias"])}
+    return {"params": params}
+
+
+def _infer_heads(hidden: int) -> int:
+    # 64-dim heads is the ViT convention (768->12, 384->6)
+    return max(hidden // 64, 1)
+
+
+def _mha_in_proj(w: Array, b: Array, hidden: int) -> Dict[str, Array]:
+    heads = _infer_heads(hidden)
+    head_dim = hidden // heads
+    kernel = convert_linear(w).reshape(hidden, heads, head_dim)
+    return {"kernel": kernel, "bias": b.reshape(heads, head_dim)}
+
+
+def _mha_out_proj(w: Array, b: Array, hidden: int) -> Dict[str, Array]:
+    heads = _infer_heads(hidden)
+    head_dim = hidden // heads
+    kernel = convert_linear(w).reshape(heads, head_dim, hidden)
+    return {"kernel": kernel, "bias": b}

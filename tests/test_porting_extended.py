@@ -1,0 +1,150 @@
+"""Porting parity for the generic converter, ViT, and Inception-style
+modules — logits compared against torch references built with the exact
+upstream naming conventions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from advshadow_tpu.victims.port import (  # noqa: E402
+    port_generic,
+    port_vit,
+)
+
+
+def _sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+class TestGenericPorter:
+    def test_inception_style_module(self):
+        """BasicConv (conv+BN eps 1e-3) chain + fc, torchvision naming —
+        the exact path :func:`port_inception` relies on."""
+
+        class TorchBasicConv(tnn.Module):
+            def __init__(self, cin, cout, k, s=1, p=0):
+                super().__init__()
+                self.conv = tnn.Conv2d(cin, cout, k, s, p, bias=False)
+                self.bn = tnn.BatchNorm2d(cout, eps=1e-3)
+
+            def forward(self, x):
+                return torch.relu(self.bn(self.conv(x)))
+
+        class TorchMini(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.Conv2d_1a_3x3 = TorchBasicConv(3, 8, 3, 2)
+                self.Mixed_5b = tnn.Module()
+                self.Mixed_5b.branch1x1 = TorchBasicConv(8, 16, 1)
+                self.fc = tnn.Linear(16, 5)
+
+            def forward(self, x):
+                h = self.Conv2d_1a_3x3(x)
+                h = self.Mixed_5b.branch1x1(h)
+                h = h.mean(dim=(2, 3))
+                return self.fc(h)
+
+        from flax import linen as nn
+
+        from advshadow_tpu.victims.inception import _BasicConv
+
+        class FlaxMini(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                h = _BasicConv(8, (3, 3), stride=2, name="Conv2d_1a_3x3")(x)
+                h = _BasicConv(16, (1, 1), name="Mixed_5b.branch1x1")(h)
+                h = h.mean(axis=(1, 2))
+                return nn.Dense(5, name="fc")(h)
+
+        tm = TorchMini().eval()
+        # flax nests Mixed_5b.branch1x1 as one name; rename joins the path
+        variables = port_generic(_sd(tm), rename=_join_mixed)
+        fm = FlaxMini()
+        x = np.random.default_rng(0).random((2, 16, 16, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(fm.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+def _join_mixed(parts):
+    """'Mixed_5b.branch1x1.conv' -> ['Mixed_5b.branch1x1', 'conv'] to match
+    the flax module name that contains a dot."""
+    if parts and parts[0].startswith("Mixed"):
+        return [".".join(parts[:2])] + parts[2:]
+    return parts
+
+
+class TestViTPorting:
+    def test_vit_logits_match_torch(self):
+        """timm-layout ViT (hidden 128 -> 2 heads of 64) vs flax port."""
+        hidden, depth, heads, patch, size = 128, 2, 2, 8, 32
+
+        class TimmAttention(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.qkv = tnn.Linear(hidden, hidden * 3)
+                self.proj = tnn.Linear(hidden, hidden)
+
+            def forward(self, x):
+                B, N, C = x.shape
+                qkv = self.qkv(x).reshape(B, N, 3, heads, C // heads)
+                q, k, v = qkv.permute(2, 0, 3, 1, 4)
+                attn = (q @ k.transpose(-2, -1)) * (C // heads) ** -0.5
+                attn = attn.softmax(dim=-1)
+                out = (attn @ v).transpose(1, 2).reshape(B, N, C)
+                return self.proj(out)
+
+        class TimmBlock(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm1 = tnn.LayerNorm(hidden, eps=1e-6)
+                self.attn = TimmAttention()
+                self.norm2 = tnn.LayerNorm(hidden, eps=1e-6)
+                self.mlp = tnn.Module()
+                self.mlp.fc1 = tnn.Linear(hidden, hidden * 4)
+                self.mlp.fc2 = tnn.Linear(hidden * 4, hidden)
+
+            def forward(self, x):
+                x = x + self.attn(self.norm1(x))
+                h = self.mlp.fc2(tnn.functional.gelu(self.mlp.fc1(self.norm2(x))))
+                return x + h
+
+        class TimmViT(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.patch_embed = tnn.Module()
+                self.patch_embed.proj = tnn.Conv2d(3, hidden, patch, patch)
+                self.cls_token = tnn.Parameter(torch.randn(1, 1, hidden) * 0.02)
+                n_tokens = (size // patch) ** 2 + 1
+                self.pos_embed = tnn.Parameter(
+                    torch.randn(1, n_tokens, hidden) * 0.02)
+                self.blocks = tnn.ModuleList([TimmBlock() for _ in range(depth)])
+                self.norm = tnn.LayerNorm(hidden, eps=1e-6)
+                self.head = tnn.Linear(hidden, 7)
+
+            def forward(self, x):
+                B = x.shape[0]
+                h = self.patch_embed.proj(x).flatten(2).transpose(1, 2)
+                cls = self.cls_token.expand(B, -1, -1)
+                h = torch.cat([cls, h], dim=1) + self.pos_embed
+                for blk in self.blocks:
+                    h = blk(h)
+                return self.head(self.norm(h)[:, 0])
+
+        tm = TimmViT().eval()
+        variables = port_vit(_sd(tm))
+
+        from advshadow_tpu.victims import ViT
+
+        fm = ViT(patch_size=patch, hidden_size=hidden, depth=depth,
+                 num_heads=heads, num_classes=7, image_size=size)
+        x = np.random.default_rng(1).random((2, size, size, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(fm.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, atol=2e-4)
