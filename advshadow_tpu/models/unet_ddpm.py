@@ -49,6 +49,7 @@ class UNetModel(nn.Module):
     num_classes: Optional[int] = None
     use_pallas_attention: Optional[bool] = None
     dtype: jnp.dtype = None          # bf16 here = TPU-native AMP
+    remat: bool = False              # rematerialize res blocks (mem <-> FLOPs)
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -92,9 +93,12 @@ class UNetModel(nn.Module):
                 y_ix = jnp.where(y < 0, self.num_classes, y).astype(jnp.int32)
             emb = emb + label_emb(y_ix)
 
+        res_cls = (nn.remat(ResidualBlock, static_argnums=())
+                   if self.remat else ResidualBlock)
+
         def res(h, out_ch, name):
-            return ResidualBlock(out_ch, self.dropout, dtype=self.dtype,
-                                 param_dtype=self.param_dtype, name=name)(
+            return res_cls(out_ch, self.dropout, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name=name)(
                 h, emb, deterministic=not train)
 
         def attn(h, name):

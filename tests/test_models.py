@@ -111,3 +111,20 @@ class TestCondFamily:
         assert make_network("unet", num_classes=2).num_classes == 2
         with pytest.raises(ValueError):
             make_network("bogus")
+
+
+class TestPixelShuffle:
+    def test_matches_torch(self):
+        """Depth-to-space channel ordering must match torch PixelShuffle
+        so ported SRv1 weights stay bit-compatible."""
+        import pytest as _pytest
+
+        torch = _pytest.importorskip("torch")
+        from advshadow_tpu.ops.image import pixel_shuffle
+
+        x = np.random.default_rng(0).random((2, 4, 4, 18)).astype(np.float32)
+        ours = np.asarray(pixel_shuffle(jnp.asarray(x), 3))
+        theirs = torch.nn.functional.pixel_shuffle(
+            torch.from_numpy(x.transpose(0, 3, 1, 2)), 3
+        ).numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, theirs, atol=0)
