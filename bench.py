@@ -98,6 +98,9 @@ def main():
         return batched_optimize_shadow(victim_fn, imgs01, masks, targets,
                                        key, attack_cfg).image
 
+    # generation + attack as ONE jit region: no host dispatch between
+    # phases, XLA overlaps the tails.
+    @jax.jit
     def pipeline(key):
         return attack(generate(key), key)
 

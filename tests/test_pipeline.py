@@ -345,3 +345,56 @@ class TestUnconditionalPipeline:
             "--image_size", "16", "--batch_size", "4", "--epochs", "1",
         ])
         assert np.isfinite(out["loss"][-1])
+
+
+class TestDetectorPrimitives:
+    def test_box_iou(self):
+        import jax.numpy as jnp
+
+        from advshadow_tpu.masks.detector import box_iou
+
+        a = jnp.asarray([[0, 0, 10, 10.0]])
+        b = jnp.asarray([[5, 5, 15, 15.0], [0, 0, 10, 10.0],
+                         [20, 20, 30, 30.0]])
+        iou = np.asarray(box_iou(a, b))[0]
+        assert iou[0] == pytest.approx(25 / 175)
+        assert iou[1] == pytest.approx(1.0)
+        assert iou[2] == 0.0
+
+    def test_nms_suppresses_overlaps(self):
+        import jax.numpy as jnp
+
+        from advshadow_tpu.masks.detector import nms
+
+        boxes = jnp.asarray([[0, 0, 10, 10.0], [1, 1, 11, 11.0],
+                             [20, 20, 30, 30.0]])
+        scores = jnp.asarray([0.9, 0.8, 0.7])
+        idx, valid = nms(boxes, scores, max_outputs=3, iou_threshold=0.5)
+        kept = [int(i) for i, v in zip(idx, valid) if bool(v)]
+        assert kept == [0, 2]  # box 1 suppressed by box 0
+
+    def test_roi_align_constant_region(self):
+        import jax.numpy as jnp
+
+        from advshadow_tpu.masks.detector import roi_align
+
+        feat = jnp.zeros((16, 16, 1)).at[4:12, 4:12, :].set(3.0)
+        out = roi_align(feat, jnp.asarray([[4.0, 4, 12, 12]]),
+                        output_size=4)
+        # interior bins of a constant region must equal the constant
+        assert np.asarray(out)[0, 1:3, 1:3, 0] == pytest.approx(3.0, abs=1e-5)
+
+    def test_anchors_and_decode(self):
+        import jax.numpy as jnp
+
+        from advshadow_tpu.masks.detector import decode_boxes, \
+            generate_anchors
+
+        anchors = generate_anchors((2, 2), stride=8, scales=(16,),
+                                   ratios=(1.0,))
+        assert anchors.shape == (4, 4)
+        # first anchor centered at (4, 4) with 16x16 extent
+        np.testing.assert_allclose(anchors[0], [-4, -4, 12, 12], atol=1e-5)
+        # zero deltas decode to the anchors themselves
+        dec = decode_boxes(anchors, jnp.zeros((4, 4)))
+        np.testing.assert_allclose(dec, anchors, atol=1e-4)
