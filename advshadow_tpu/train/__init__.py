@@ -4,6 +4,7 @@ from advshadow_tpu.train.checkpoint import (
     load_ckpt_params,
     save_ckpt,
     separate_ckpt_weights,
+    wait_for_async_saves,
 )
 from advshadow_tpu.train.lr import LR_FUNCS, cosine_lr, make_lr_schedule
 from advshadow_tpu.train.trainer import (
@@ -22,6 +23,7 @@ __all__ = [
     "load_ckpt_params",
     "save_ckpt",
     "separate_ckpt_weights",
+    "wait_for_async_saves",
     "LR_FUNCS",
     "cosine_lr",
     "make_lr_schedule",

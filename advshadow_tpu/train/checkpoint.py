@@ -27,13 +27,47 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 __all__ = ["save_ckpt", "load_ckpt", "load_ckpt_params",
-           "filter_pretrain_params", "separate_ckpt_weights"]
+           "filter_pretrain_params", "separate_ckpt_weights",
+           "wait_for_async_saves"]
 
 _META = "metadata.json"
 
 
 def _tree_dir(path: str, name: str) -> str:
     return os.path.join(os.path.abspath(path), name)
+
+
+_async_ckptr: Optional[ocp.AsyncCheckpointer] = None
+_async_threads: list = []
+
+
+def _get_async_checkpointer() -> ocp.AsyncCheckpointer:
+    global _async_ckptr
+    if _async_ckptr is None:
+        _async_ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    return _async_ckptr
+
+
+def wait_for_async_saves() -> None:
+    """Block until all in-flight async checkpoint writes (and their
+    metadata/interval-copy finalization) land."""
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+    while _async_threads:
+        _async_threads.pop().join()
+
+
+def _finalize_ckpt(last: str, results_dir: str, epoch: int, meta: dict,
+                   save_name, save_model_interval, start_model_interval):
+    """Write the metadata sidecar and interval copy — runs after the
+    (possibly async) orbax write has renamed the directory into place."""
+    with open(os.path.join(last, _META), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    if save_model_interval and epoch > start_model_interval and save_name:
+        copy_dir = _tree_dir(results_dir, save_name)
+        if os.path.exists(copy_dir):
+            shutil.rmtree(copy_dir)
+        shutil.copytree(last, copy_dir)
 
 
 def save_ckpt(
@@ -45,32 +79,46 @@ def save_ckpt(
     save_name: Optional[str] = None,
     save_model_interval: bool = False,
     start_model_interval: int = -1,
+    async_save: bool = False,
     **metadata,
 ) -> str:
     """Save ``ckpt_last`` (always) plus an interval copy (optionally).
 
     ``metadata`` carries the reference fields (num_classes, conditional,
     image_size, sample, network, act, classes_name, ...).
+    ``async_save`` writes in the background (preemption tolerance: the
+    train loop keeps stepping while the previous checkpoint lands; call
+    :func:`wait_for_async_saves` before exit) — the SURVEY §5.3
+    elastic-recovery upgrade over the reference's synchronous saves.
     """
     os.makedirs(results_dir, exist_ok=True)
     last = _tree_dir(results_dir, "ckpt_last")
     if os.path.exists(last):
         shutil.rmtree(last)
-    ckptr = ocp.PyTreeCheckpointer()
     tree = {"model": params, "ema_model": ema_params}
     if opt_state is not None:
         tree["optimizer"] = opt_state
-    ckptr.save(last, tree)
     meta = dict(metadata)
     meta["start_epoch"] = int(epoch)
-    with open(os.path.join(last, _META), "w") as f:
-        json.dump(meta, f, indent=2, default=str)
 
-    if save_model_interval and epoch > start_model_interval and save_name:
-        copy_dir = _tree_dir(results_dir, save_name)
-        if os.path.exists(copy_dir):
-            shutil.rmtree(copy_dir)
-        shutil.copytree(last, copy_dir)
+    if async_save:
+        import threading
+
+        ckptr = _get_async_checkpointer()
+        ckptr.save(last, args=ocp.args.PyTreeSave(tree))
+
+        def _bg():
+            ckptr.wait_until_finished()
+            _finalize_ckpt(last, results_dir, epoch, meta, save_name,
+                           save_model_interval, start_model_interval)
+
+        t = threading.Thread(target=_bg, daemon=True)
+        t.start()
+        _async_threads.append(t)
+    else:
+        ocp.PyTreeCheckpointer().save(last, tree)
+        _finalize_ckpt(last, results_dir, epoch, meta, save_name,
+                       save_model_interval, start_model_interval)
     return last
 
 

@@ -98,9 +98,9 @@ def main():
         return batched_optimize_shadow(victim_fn, imgs01, masks, targets,
                                        key, attack_cfg).image
 
-    # generation + attack as ONE jit region: no host dispatch between
-    # phases, XLA overlaps the tails.
-    @jax.jit
+    # two jit regions (generation, attack) — measured identical to a fully
+    # fused pipeline (dispatch overhead is noise at these program sizes)
+    # and keeps the per-phase timings meaningful.
     def pipeline(key):
         return attack(generate(key), key)
 

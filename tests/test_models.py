@@ -128,3 +128,28 @@ class TestPixelShuffle:
             torch.from_numpy(x.transpose(0, 3, 1, 2)), 3
         ).numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(ours, theirs, atol=0)
+
+
+class TestPallasKernelInterpret:
+    def test_kernel_matches_reference_in_interpret_mode(self):
+        """Run the actual Pallas attention kernel (interpret mode, CPU) and
+        compare against the XLA reference path — locks the kernel's
+        padding/masking/softmax logic into CI without TPU hardware."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from advshadow_tpu.ops.attention import (
+            _attention_pallas,
+            attention_reference,
+        )
+
+        rng = jax.random.PRNGKey(0)
+        # T=100, d=48: exercises both seq and head-dim padding paths
+        q = jax.random.normal(rng, (2, 100, 48))
+        k = jax.random.normal(jax.random.fold_in(rng, 1), (2, 100, 48))
+        v = jax.random.normal(jax.random.fold_in(rng, 2), (2, 100, 48))
+        scale = 0.37
+        with pltpu.force_tpu_interpret_mode():
+            out = _attention_pallas(q, k, v, scale)
+        ref = attention_reference(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)

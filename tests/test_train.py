@@ -209,3 +209,21 @@ class TestLossRegistry:
         assert float(make_loss_fn("huber")(n, p)) == pytest.approx(1.5)
         with pytest.raises(ValueError):
             make_loss_fn("bogus")
+
+
+class TestAsyncCheckpoint:
+    def test_async_roundtrip(self, tmp_path):
+        from advshadow_tpu.train import save_ckpt, load_ckpt, \
+            wait_for_async_saves
+
+        params = {"w": jnp.arange(6.0).reshape(2, 3)}
+        save_ckpt(str(tmp_path), epoch=3, params=params, ema_params=params,
+                  async_save=True, num_classes=5, conditional=True,
+                  save_name="ckpt_3", save_model_interval=True,
+                  start_model_interval=0)
+        wait_for_async_saves()
+        tree = load_ckpt(str(tmp_path / "ckpt_last"))
+        np.testing.assert_allclose(tree["model"]["w"],
+                                   np.arange(6.0).reshape(2, 3))
+        assert tree["metadata"]["start_epoch"] == 3
+        assert os.path.isdir(tmp_path / "ckpt_3")
