@@ -27,7 +27,6 @@ from advshadow_tpu.attack import (
     DIFF2_CONFIG,
     EVAL_CONFIG,
     TRAIN_CONFIG,
-    ShadowOptConfig,
     batched_optimize_shadow,
     bim_attack,
     cross_entropy,

@@ -13,7 +13,6 @@ Images are NHWC and diffusion state lives in [-1, 1].
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -20,18 +20,14 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
 
-from advshadow_tpu.core import (
-    DiffusionCoefficients,
-    mse_eps_loss,
-    q_sample,
-)
+from advshadow_tpu.core import DiffusionCoefficients, q_sample
 from advshadow_tpu.train.lr import make_lr_schedule
 
 __all__ = ["TrainConfig", "TrainState", "make_optimizer", "create_train_state",

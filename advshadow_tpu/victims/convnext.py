@@ -12,7 +12,6 @@ from functools import partial
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["ConvNeXt", "convnext_tiny", "convnext_base"]

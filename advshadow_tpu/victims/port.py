@@ -15,7 +15,7 @@ keeping torch out of the framework's import graph).
 
 from __future__ import annotations
 
-from typing import Dict, Mapping, Tuple
+from typing import Dict, Mapping
 
 import numpy as np
 

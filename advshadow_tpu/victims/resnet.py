@@ -14,7 +14,7 @@ w.r.t. the input, never trains.
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Sequence, Type
+from typing import Sequence, Type
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ from functools import partial
 from typing import Sequence
 
 import jax
-import jax.numpy as jnp
 from flax import linen as nn
 
 __all__ = ["VGG", "vgg16", "vgg19"]

@@ -8,8 +8,6 @@ ViT-B/16 and DINOv2-small victims (ref: test.py:90-107, ASR_fast.py:47-58).
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -398,3 +398,65 @@ class TestDetectorPrimitives:
         # zero deltas decode to the anchors themselves
         dec = decode_boxes(anchors, jnp.zeros((4, 4)))
         np.testing.assert_allclose(dec, anchors, atol=1e-4)
+
+
+class TestFullStory:
+    """The complete paper workflow chained end to end on tiny data:
+    shadow-diffusion training -> conditional generation -> shadow attack
+    on a folder -> ASR + PSNR/SSIM + FID over the attacked outputs."""
+
+    def test_workflow(self, shadow_dataset, tmp_path):
+        import jax.numpy as jnp
+
+        from advshadow_tpu.cli.attack import main as attack_main
+        from advshadow_tpu.cli.evaluate import main as eval_main
+        from advshadow_tpu.cli.generate import main as generate_main
+        from advshadow_tpu.cli.train_shadow import main as ts_main
+
+        img_dir, mask_dir, labels_json = shadow_dataset
+
+        # 1. train the shadow-diffusion model
+        out = ts_main([
+            "--dataset_path", img_dir, "--mask_dir", mask_dir,
+            "--labels_json", labels_json,
+            "--result_path", str(tmp_path / "run"), "--run_name", "story",
+            "--vis", "", "--epochs", "1",
+            "--channels", "8,16,32,64,128,256",
+            "--image_size", "16", "--batch_size", "4",
+            "--shadow_iterations", "1", "--attack_iterations", "2",
+            "--sample", "ddim",
+        ])
+        assert np.isfinite(out["loss"][-1])
+        ckpt = os.path.join(out["results_dir"], "ckpt_last")
+
+        # 2. generate conditionally from the trained checkpoint
+        imgs = generate_main([
+            "--weight_path", ckpt, "--result_path", str(tmp_path / "gen"),
+            "--class_name", "0", "--num_images", "2",
+        ])
+        assert imgs.shape == (2, 16, 16, 3)
+
+        # 3. attack the original folder
+        atk = attack_main([
+            "--method", "shadow", "--dataset_path", img_dir,
+            "--mask_dir", mask_dir, "--labels_json", labels_json,
+            "--output_path", str(tmp_path / "atk"),
+            "--image_size", "16", "--batch_size", "4", "--preset", "train",
+        ])
+        assert atk["count"] == 4
+
+        # 4. evaluate: ASR on the attacked folder, PSNR/SSIM originals vs
+        # attacked, FID originals vs attacked
+        asr = eval_main(["asr", "--folder", str(tmp_path / "atk"),
+                         "--image_size", "16"])
+        assert asr["n"] == 4 and 0.0 <= asr["asr"] <= 1.0
+
+        ps = eval_main(["psnr-ssim", "--folder1", img_dir,
+                        "--folder2", str(tmp_path / "atk"),
+                        "--image_size", "16"])
+        assert 0.0 < ps["mean_ssim"] <= 1.0 and ps["mean_psnr"] > 5.0
+
+        fid = eval_main(["fid", "--folder1", img_dir,
+                         "--folder2", str(tmp_path / "atk"),
+                         "--image_size", "32"])
+        assert np.isfinite(fid["fid"]) and fid["fid"] >= -1.0
