@@ -70,19 +70,20 @@ def integrated_gradients_attack(
         logp = jax.nn.log_softmax(logits, axis=-1)
         return -jnp.sum(jnp.take_along_axis(logp, labels[:, None], axis=-1))
 
-    grad_fn = jax.grad(path_ce)
-
-    def body(i, perturbation):
-        alpha_dyn = alpha / jnp.sqrt(i.astype(jnp.float32) + 1.0)
-        ig = grad_fn(image) / steps
-        norm_g = ig / (jnp.sum(jnp.abs(ig)) + 1e-8)
-        masked = norm_g * feature_mask[..., None]
-        p = perturbation - alpha_dyn * jnp.sign(masked)
-        return jnp.clip(p, -epsilon, epsilon)
-
-    perturbation = jax.lax.fori_loop(
-        0, iterations, body, jnp.zeros_like(image)
-    )
+    # The reference recomputes the path integral every iteration
+    # (ref: ddim2/test.py:655-666), but it is CONSTANT within one attack
+    # call: same baseline, same image, frozen victim. Every iteration
+    # steps by -alpha/sqrt(i+1) along the SAME fixed sign direction and
+    # clips to ±epsilon; monotone same-direction steps make the stepwise
+    # clip equal to one final clip. The closed form below is bit-exact
+    # with the reference loop (see test_ig_closed_form_equals_loop) at
+    # 1/iterations the victim cost.
+    ig = jax.grad(path_ce)(image) / steps
+    norm_g = ig / (jnp.sum(jnp.abs(ig)) + 1e-8)
+    sign = jnp.sign(norm_g * feature_mask[..., None])
+    total_step = alpha * jnp.sum(
+        1.0 / jnp.sqrt(jnp.arange(iterations, dtype=jnp.float32) + 1.0))
+    perturbation = jnp.clip(-total_step * sign, -epsilon, epsilon)
     perturbed = jnp.clip(image + perturbation, 0.0, 1.0)
     return perturbed, perturbation
 

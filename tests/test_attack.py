@@ -219,3 +219,44 @@ class TestShadowOptimization:
         res = optimize_shadow_position(
             self.victim, self.image, self.mask, jnp.int32(0), self.rng, cfg)
         assert res.center.shape == (2,)
+
+
+class TestIGClosedForm:
+    def test_ig_closed_form_equals_loop(self):
+        """The closed-form IG attack must be exactly equivalent to the
+        reference's recompute-every-iteration loop (constant path integral,
+        monotone same-sign steps => clip commutes)."""
+        victim = make_victim(3)
+        rng = jax.random.PRNGKey(7)
+        image = jax.random.uniform(jax.random.PRNGKey(8), (H, W, 3))
+        mask = jnp.zeros((H, W)).at[4:20, 4:20].set(1.0)
+        label = jnp.int32(2)
+        eps, alpha, iters, steps = 0.05, 0.005, 6, 4
+
+        adv, pert = integrated_gradients_attack(
+            victim, image, label, mask, rng,
+            epsilon=eps, alpha=alpha, iterations=iters, steps=steps)
+
+        # reference-style loop (transcribed semantics, recomputing IG)
+        baseline = jax.random.normal(rng, image.shape, image.dtype)
+        ks = jnp.arange(steps + 1, dtype=jnp.float32) / steps
+
+        def path_ce(img):
+            path = baseline[None] + ks[:, None, None, None] * (
+                img[None] - baseline[None])
+            logits = victim(path)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            labels = jnp.full((steps + 1,), label, jnp.int32)
+            return -jnp.sum(jnp.take_along_axis(logp, labels[:, None], -1))
+
+        p = jnp.zeros_like(image)
+        for i in range(iters):
+            ig = jax.grad(path_ce)(image) / steps
+            norm_g = ig / (jnp.sum(jnp.abs(ig)) + 1e-8)
+            masked = norm_g * mask[..., None]
+            p = jnp.clip(p - (alpha / np.sqrt(i + 1)) * jnp.sign(masked),
+                         -eps, eps)
+        expected_adv = jnp.clip(image + p, 0, 1)
+        np.testing.assert_allclose(np.asarray(pert), np.asarray(p), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(adv), np.asarray(expected_adv),
+                                   atol=1e-6)
