@@ -20,7 +20,7 @@ from typing import Dict, Mapping
 import numpy as np
 
 __all__ = ["convert_conv", "convert_linear", "port_resnet", "port_vgg",
-           "port_generic", "port_inception", "port_vit"]
+           "port_generic", "port_inception", "port_vit", "port_convnext"]
 
 Array = np.ndarray
 
@@ -246,3 +246,56 @@ def _mha_out_proj(w: Array, b: Array, hidden: int) -> Dict[str, Array]:
     head_dim = hidden // heads
     kernel = convert_linear(w).reshape(heads, head_dim, hidden)
     return {"kernel": kernel, "bias": b}
+
+
+def port_convnext(sd: Mapping[str, Array],
+                  depths=(3, 3, 9, 3)) -> Dict[str, Dict]:
+    """timm ConvNeXt state_dict -> :class:`...victims.convnext.ConvNeXt`.
+
+    timm names: stem.0 (4x4 conv) / stem.1 (LN);
+    stages.S.downsample.{0 LN, 1 conv} for S>0;
+    stages.S.blocks.B.{conv_dw, norm, mlp.fc1, mlp.fc2, gamma};
+    head.norm / head.fc.
+    """
+    params: Dict = {}
+    params["stem_conv"] = {
+        "kernel": convert_conv(np.asarray(sd["stem.0.weight"])),
+        "bias": np.asarray(sd["stem.0.bias"]),
+    }
+    params["stem_norm"] = {"scale": np.asarray(sd["stem.1.weight"]),
+                           "bias": np.asarray(sd["stem.1.bias"])}
+    for s, depth in enumerate(depths):
+        if s > 0:
+            params[f"downsample{s}_norm"] = {
+                "scale": np.asarray(sd[f"stages.{s}.downsample.0.weight"]),
+                "bias": np.asarray(sd[f"stages.{s}.downsample.0.bias"]),
+            }
+            params[f"downsample{s}_conv"] = {
+                "kernel": convert_conv(
+                    np.asarray(sd[f"stages.{s}.downsample.1.weight"])),
+                "bias": np.asarray(sd[f"stages.{s}.downsample.1.bias"]),
+            }
+        for b in range(depth):
+            t = f"stages.{s}.blocks.{b}"
+            params[f"stage{s}_block{b}"] = {
+                "dwconv": {
+                    "kernel": convert_conv(np.asarray(sd[f"{t}.conv_dw.weight"])),
+                    "bias": np.asarray(sd[f"{t}.conv_dw.bias"]),
+                },
+                "norm": {"scale": np.asarray(sd[f"{t}.norm.weight"]),
+                         "bias": np.asarray(sd[f"{t}.norm.bias"])},
+                "pwconv1": {
+                    "kernel": convert_linear(np.asarray(sd[f"{t}.mlp.fc1.weight"])),
+                    "bias": np.asarray(sd[f"{t}.mlp.fc1.bias"]),
+                },
+                "pwconv2": {
+                    "kernel": convert_linear(np.asarray(sd[f"{t}.mlp.fc2.weight"])),
+                    "bias": np.asarray(sd[f"{t}.mlp.fc2.bias"]),
+                },
+                "gamma": np.asarray(sd[f"{t}.gamma"]),
+            }
+    params["head_norm"] = {"scale": np.asarray(sd["head.norm.weight"]),
+                           "bias": np.asarray(sd["head.norm.bias"])}
+    params["head"] = {"kernel": convert_linear(np.asarray(sd["head.fc.weight"])),
+                      "bias": np.asarray(sd["head.fc.bias"])}
+    return {"params": params}

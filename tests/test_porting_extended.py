@@ -148,3 +148,81 @@ class TestViTPorting:
             expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         got = np.asarray(fm.apply(variables, jnp.asarray(x)))
         np.testing.assert_allclose(got, expected, atol=2e-4)
+
+
+class TestConvNeXtPorting:
+    def test_convnext_logits_match_torch(self):
+        """timm-layout mini ConvNeXt (depths (1,1), dims (8,16))."""
+        depths, dims = (1, 1), (8, 16)
+
+        class TimmBlock(tnn.Module):
+            def __init__(self, dim):
+                super().__init__()
+                self.conv_dw = tnn.Conv2d(dim, dim, 7, padding=3, groups=dim)
+                self.norm = tnn.LayerNorm(dim, eps=1e-6)
+                self.mlp = tnn.Module()
+                self.mlp.fc1 = tnn.Linear(dim, 4 * dim)
+                self.mlp.fc2 = tnn.Linear(4 * dim, dim)
+                self.gamma = tnn.Parameter(torch.full((dim,), 1e-6))
+
+            def forward(self, x):
+                h = self.conv_dw(x).permute(0, 2, 3, 1)
+                h = self.norm(h)
+                h = self.mlp.fc2(tnn.functional.gelu(self.mlp.fc1(h)))
+                return x + (self.gamma * h).permute(0, 3, 1, 2)
+
+        class TimmConvNeXt(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.stem = tnn.Sequential()
+                self.stem.add_module("0", tnn.Conv2d(3, dims[0], 4, 4))
+
+                class ChanLN(tnn.Module):
+                    def __init__(self, d):
+                        super().__init__()
+                        self.weight = tnn.Parameter(torch.ones(d))
+                        self.bias = tnn.Parameter(torch.zeros(d))
+
+                    def forward(self, x):
+                        h = x.permute(0, 2, 3, 1)
+                        h = tnn.functional.layer_norm(
+                            h, (h.shape[-1],), self.weight, self.bias, 1e-6)
+                        return h.permute(0, 3, 1, 2)
+
+                self.stem.add_module("1", ChanLN(dims[0]))
+                self.stages = tnn.ModuleList()
+                for s, (depth, dim) in enumerate(zip(depths, dims)):
+                    stage = tnn.Module()
+                    if s > 0:
+                        stage.downsample = tnn.Sequential()
+                        stage.downsample.add_module("0", ChanLN(dims[s - 1]))
+                        stage.downsample.add_module(
+                            "1", tnn.Conv2d(dims[s - 1], dim, 2, 2))
+                    stage.blocks = tnn.ModuleList(
+                        [TimmBlock(dim) for _ in range(depth)])
+                    self.stages.append(stage)
+                self.head = tnn.Module()
+                self.head.norm = tnn.LayerNorm(dims[-1], eps=1e-6)
+                self.head.fc = tnn.Linear(dims[-1], 4)
+
+            def forward(self, x):
+                h = self.stem(x)
+                for s, stage in enumerate(self.stages):
+                    if s > 0:
+                        h = stage.downsample(h)
+                    for blk in stage.blocks:
+                        h = blk(h)
+                h = h.mean(dim=(2, 3))
+                return self.head.fc(self.head.norm(h))
+
+        from advshadow_tpu.victims import ConvNeXt
+        from advshadow_tpu.victims.port import port_convnext
+
+        tm = TimmConvNeXt().eval()
+        variables = port_convnext(_sd(tm), depths=depths)
+        fm = ConvNeXt(depths=depths, dims=dims, num_classes=4)
+        x = np.random.default_rng(2).random((2, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(fm.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, atol=1e-4)
