@@ -166,9 +166,12 @@ def train(args) -> dict:
 
     start_epoch = 0
     if args.resume:
-        tree = load_ckpt(f"{dirs['results_dir']}/ckpt_last")
+        target = {"model": state.params, "ema_model": state.ema_params,
+                  "optimizer": state.opt_state}
+        tree = load_ckpt(f"{dirs['results_dir']}/ckpt_last", target=target)
         state = state.replace(params=tree["model"],
-                              ema_params=tree["ema_model"])
+                              ema_params=tree["ema_model"],
+                              opt_state=tree["optimizer"])
         start_epoch = (args.start_epoch if args.start_epoch is not None
                        else tree["metadata"].get("start_epoch", 0))
         logger.info(f"resumed from epoch {start_epoch}")
@@ -229,6 +232,7 @@ def train(args) -> dict:
                 dirs["results_dir"], epoch,
                 params=jax.device_get(state.params),
                 ema_params=jax.device_get(state.ema_params),
+                opt_state=jax.device_get(state.opt_state),
                 save_name=f"ckpt_{epoch}",
                 save_model_interval=args.save_model_interval,
                 start_model_interval=args.start_model_interval,

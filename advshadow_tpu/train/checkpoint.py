@@ -122,10 +122,14 @@ def save_ckpt(
     return last
 
 
-def load_ckpt(ckpt_path: str) -> Dict[str, Any]:
-    """Load the full checkpoint tree + metadata dict."""
+def load_ckpt(ckpt_path: str, target: Any = None) -> Dict[str, Any]:
+    """Load the full checkpoint tree + metadata dict.
+
+    ``target``: optional pytree template ({"model": ..., "ema_model": ...,
+    "optimizer": ...}) so structured leaves (optax states) restore with
+    their original types instead of plain dicts."""
     ckptr = ocp.PyTreeCheckpointer()
-    tree = ckptr.restore(os.path.abspath(ckpt_path))
+    tree = ckptr.restore(os.path.abspath(ckpt_path), item=target)
     meta_path = os.path.join(ckpt_path, _META)
     meta = {}
     if os.path.exists(meta_path):
