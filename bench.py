@@ -41,7 +41,7 @@ def main():
     runtime_init()
     small = os.environ.get("BENCH_SMALL", "0") == "1"
     n_chips = jax.device_count()
-    per_chip_batch = int(os.environ.get("BENCH_BATCH", "8" if small else "64"))
+    per_chip_batch = int(os.environ.get("BENCH_BATCH", "8" if small else "256"))
     batch = per_chip_batch * n_chips
     image_size = 32 if small else 64
     ddim_steps = 10 if small else 50
