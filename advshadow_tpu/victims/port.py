@@ -20,7 +20,8 @@ from typing import Dict, Mapping
 import numpy as np
 
 __all__ = ["convert_conv", "convert_linear", "port_resnet", "port_vgg",
-           "port_generic", "port_inception", "port_vit", "port_convnext"]
+           "port_generic", "port_inception", "port_vit", "port_convnext",
+           "port_efficientnetv2"]
 
 Array = np.ndarray
 
@@ -299,3 +300,69 @@ def port_convnext(sd: Mapping[str, Array],
     params["head"] = {"kernel": convert_linear(np.asarray(sd["head.fc.weight"])),
                       "bias": np.asarray(sd["head.fc.bias"])}
     return {"params": params}
+
+
+def port_efficientnetv2(sd: Mapping[str, Array], stages=None) -> Dict[str, Dict]:
+    """torchvision efficientnet_v2_* state_dict ->
+    :class:`...victims.efficientnet.EfficientNetV2`.
+
+    torchvision layout: features.0 stem Conv2dNormActivation; features.1..S
+    stages of FusedMBConv/MBConv blocks (``block.N`` sublayers:
+    fused = [expand?, project]; mb = [expand, dw, SE, project]);
+    features.S+1 head conv; classifier.1 Linear.
+    ``stages``: sequence of (block_kind, expand, layers) — defaults to V2-S.
+    """
+    if stages is None:
+        stages = (("fused", 1, 2), ("fused", 4, 4), ("fused", 4, 4),
+                  ("mb", 4, 6), ("mb", 6, 9), ("mb", 6, 15))
+    params: Dict = {}
+    stats: Dict = {}
+
+    def cna(prefix):  # Conv2dNormActivation -> (conv kernel, bn params/stats)
+        conv = {"kernel": convert_conv(np.asarray(sd[f"{prefix}.0.weight"]))}
+        bn = {"scale": np.asarray(sd[f"{prefix}.1.weight"]),
+              "bias": np.asarray(sd[f"{prefix}.1.bias"])}
+        st = {"mean": np.asarray(sd[f"{prefix}.1.running_mean"]),
+              "var": np.asarray(sd[f"{prefix}.1.running_var"])}
+        return conv, bn, st
+
+    params["stem_conv"], params["stem_bn"], stats["stem_bn"] = cna("features.0")
+
+    for si, (kind, expand, layers) in enumerate(stages):
+        for li in range(layers):
+            t = f"features.{si + 1}.{li}.block"
+            name = f"stage{si}_block{li}"
+            bp: Dict = {}
+            bs: Dict = {}
+            if kind == "fused":
+                if expand != 1:
+                    bp["expand_conv"], bp["expand_bn"], bs["expand_bn"] = \
+                        cna(f"{t}.0")
+                    bp["project_conv"], bp["project_bn"], bs["project_bn"] = \
+                        cna(f"{t}.1")
+                else:
+                    bp["project_conv"], bp["project_bn"], bs["project_bn"] = \
+                        cna(f"{t}.0")
+            else:
+                bp["expand_conv"], bp["expand_bn"], bs["expand_bn"] = \
+                    cna(f"{t}.0")
+                bp["dw_conv"], bp["dw_bn"], bs["dw_bn"] = cna(f"{t}.1")
+                bp["se"] = {
+                    "fc1": {"kernel": convert_conv(np.asarray(sd[f"{t}.2.fc1.weight"])),
+                            "bias": np.asarray(sd[f"{t}.2.fc1.bias"])},
+                    "fc2": {"kernel": convert_conv(np.asarray(sd[f"{t}.2.fc2.weight"])),
+                            "bias": np.asarray(sd[f"{t}.2.fc2.bias"])},
+                }
+                bp["project_conv"], bp["project_bn"], bs["project_bn"] = \
+                    cna(f"{t}.3")
+            params[name] = bp
+            stats[name] = bs
+
+    head_ix = len(stages) + 1
+    params["head_conv"], params["head_bn"], stats["head_bn"] = \
+        cna(f"features.{head_ix}")
+    params["classifier"] = {
+        "kernel": convert_linear(np.asarray(sd["classifier.1.weight"])),
+        "bias": np.asarray(sd["classifier.1.bias"]),
+    }
+    return {"params": params, "batch_stats": stats}

@@ -226,3 +226,99 @@ class TestConvNeXtPorting:
             expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         got = np.asarray(fm.apply(variables, jnp.asarray(x)))
         np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+class TestEfficientNetPorting:
+    def test_efficientnetv2_logits_match_torch(self):
+        """torchvision-layout mini EfficientNetV2: one fused(e1), one
+        fused(e4, s2), one MBConv(e4, SE)."""
+
+        def tv_cna(cin, cout, k, s, act=True, groups=1):
+            layers = [tnn.Conv2d(cin, cout, k, s, k // 2, groups=groups,
+                                 bias=False),
+                      tnn.BatchNorm2d(cout, eps=1e-3)]
+            if act:
+                layers.append(tnn.SiLU(inplace=True))
+            return tnn.Sequential(*layers)
+
+        class TvSE(tnn.Module):
+            def __init__(self, ch, squeeze):
+                super().__init__()
+                self.fc1 = tnn.Conv2d(ch, squeeze, 1)
+                self.fc2 = tnn.Conv2d(squeeze, ch, 1)
+
+            def forward(self, x):
+                s = x.mean((2, 3), keepdim=True)
+                s = torch.sigmoid(self.fc2(tnn.functional.silu(self.fc1(s))))
+                return x * s
+
+        class TvNet(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                f = tnn.Sequential()
+                f.add_module("0", tv_cna(3, 8, 3, 2))               # stem
+                # stage 0: fused e1 (single conv+bn+act), 8->8, s1
+                s0 = tnn.Sequential()
+                b = tnn.Module()
+                b.block = tnn.Sequential()
+                b.block.add_module("0", tv_cna(8, 8, 3, 1))
+                s0.add_module("0", _Res(b.block, residual=True))
+                f.add_module("1", s0)
+                # stage 1: fused e4, 8->16, s2
+                s1 = tnn.Sequential()
+                blk = tnn.Sequential()
+                blk.add_module("0", tv_cna(8, 32, 3, 2))
+                blk.add_module("1", tv_cna(32, 16, 1, 1, act=False))
+                s1.add_module("0", _Res(blk, residual=False))
+                f.add_module("2", s1)
+                # stage 2: mb e4 + SE, 16->24, s2
+                s2 = tnn.Sequential()
+                blk = tnn.Sequential()
+                blk.add_module("0", tv_cna(16, 64, 1, 1))
+                blk.add_module("1", tv_cna(64, 64, 3, 2, groups=64))
+                blk.add_module("2", TvSE(64, max(1, 16 // 4)))
+                blk.add_module("3", tv_cna(64, 24, 1, 1, act=False))
+                s2.add_module("0", _Res(blk, residual=False))
+                f.add_module("3", s2)
+                f.add_module("4", tv_cna(24, 64, 1, 1))             # head
+                self.features = f
+                self.classifier = tnn.Sequential(
+                    tnn.Dropout(), tnn.Linear(64, 6))
+
+            def forward(self, x):
+                h = self.features(x)
+                h = h.mean((2, 3))
+                return self.classifier(h)
+
+        class _Res(tnn.Module):
+            """torchvision block wrapper: names the inner Sequential
+            'block' and applies the residual when shapes allow."""
+
+            def __init__(self, block, residual):
+                super().__init__()
+                self.block = block
+                self.residual = residual
+
+            def forward(self, x):
+                h = self.block(x)
+                return x + h if self.residual else h
+
+        from advshadow_tpu.victims.efficientnet import EfficientNetV2, \
+            _StageCfg
+        from advshadow_tpu.victims.port import port_efficientnetv2
+
+        stages_flax = (
+            _StageCfg("fused", 1, 3, 1, 8, 1),
+            _StageCfg("fused", 4, 3, 2, 16, 1),
+            _StageCfg("mb", 4, 3, 2, 24, 1),
+        )
+        tm = TvNet().eval()
+        variables = port_efficientnetv2(
+            _sd(tm), stages=(("fused", 1, 1), ("fused", 4, 1), ("mb", 4, 1)))
+        fm = EfficientNetV2(stages=stages_flax, stem_ch=8, head_ch=64,
+                            num_classes=6)
+        x = np.random.default_rng(3).random((2, 32, 32, 3)).astype(np.float32)
+        with torch.no_grad():
+            expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+        got = np.asarray(fm.apply(variables, jnp.asarray(x)))
+        np.testing.assert_allclose(got, expected, atol=1e-4)
