@@ -21,7 +21,7 @@ import numpy as np
 
 __all__ = ["convert_conv", "convert_linear", "port_resnet", "port_vgg",
            "port_generic", "port_inception", "port_vit", "port_convnext",
-           "port_efficientnetv2"]
+           "port_efficientnetv2", "port_swin"]
 
 Array = np.ndarray
 
@@ -366,3 +366,55 @@ def port_efficientnetv2(sd: Mapping[str, Array], stages=None) -> Dict[str, Dict]
         "bias": np.asarray(sd["classifier.1.bias"]),
     }
     return {"params": params, "batch_stats": stats}
+
+
+def port_swin(sd: Mapping[str, Array],
+              depths=(2, 2, 6, 2)) -> Dict[str, Dict]:
+    """timm Swin state_dict -> :class:`...victims.swin.SwinTransformer`.
+
+    timm layout: patch_embed.{proj,norm}; layers.S.blocks.B.{norm1,
+    attn.{qkv,proj,relative_position_bias_table}, norm2, mlp.fc1/fc2};
+    layers.S.downsample.{reduction,norm}; norm; head(.fc).
+    (relative_position_index buffers are recomputed, not ported.)
+    """
+    def ln(prefix):
+        return {"scale": np.asarray(sd[f"{prefix}.weight"]),
+                "bias": np.asarray(sd[f"{prefix}.bias"])}
+
+    def dense(prefix, bias=True):
+        out = {"kernel": convert_linear(np.asarray(sd[f"{prefix}.weight"]))}
+        if bias and f"{prefix}.bias" in sd:
+            out["bias"] = np.asarray(sd[f"{prefix}.bias"])
+        return out
+
+    params: Dict = {}
+    params["patch_embed"] = {
+        "kernel": convert_conv(np.asarray(sd["patch_embed.proj.weight"])),
+        "bias": np.asarray(sd["patch_embed.proj.bias"]),
+    }
+    params["patch_norm"] = ln("patch_embed.norm")
+    for s, depth in enumerate(depths):
+        for b in range(depth):
+            t = f"layers.{s}.blocks.{b}"
+            params[f"stage{s}_block{b}"] = {
+                "norm1": ln(f"{t}.norm1"),
+                "norm2": ln(f"{t}.norm2"),
+                "attn": {
+                    "qkv": dense(f"{t}.attn.qkv"),
+                    "proj": dense(f"{t}.attn.proj"),
+                    "relative_position_bias_table": np.asarray(
+                        sd[f"{t}.attn.relative_position_bias_table"]),
+                },
+                "mlp1": dense(f"{t}.mlp.fc1"),
+                "mlp2": dense(f"{t}.mlp.fc2"),
+            }
+        if s < len(depths) - 1 and f"layers.{s}.downsample.norm.weight" in sd:
+            params[f"downsample{s}"] = {
+                "norm": ln(f"layers.{s}.downsample.norm"),
+                "reduction": dense(f"layers.{s}.downsample.reduction",
+                                   bias=False),
+            }
+    params["norm"] = ln("norm")
+    head_key = "head.fc" if "head.fc.weight" in sd else "head"
+    params["head"] = dense(head_key)
+    return {"params": params}

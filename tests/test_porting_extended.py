@@ -322,3 +322,73 @@ class TestEfficientNetPorting:
             expected = tm(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
         got = np.asarray(fm.apply(variables, jnp.asarray(x)))
         np.testing.assert_allclose(got, expected, atol=1e-4)
+
+
+class TestSwinPorting:
+    def test_swin_port_mapping_and_forward(self):
+        """Structural port test: a synthetic timm-named state dict ports
+        into the flax SwinTransformer, the model runs, and spot weights
+        land transposed in the right modules."""
+        import jax
+
+        from advshadow_tpu.victims import SwinTransformer
+        from advshadow_tpu.victims.port import port_swin
+
+        depths, dim, heads, window = (1, 1), 8, (2, 4), 7
+        size = 56  # 4x4 patches -> 14x14 -> window 7 fits
+        rng = np.random.default_rng(4)
+
+        # build the timm-shaped dict from a flax init (guarantees shapes)
+        fm = SwinTransformer(embed_dim=dim, depths=depths, num_heads=heads,
+                             window=window, num_classes=3)
+        x = jnp.zeros((1, size, size, 3))
+        ref = jax.jit(fm.init)(jax.random.PRNGKey(0), x)["params"]
+
+        sd = {}
+        sd["patch_embed.proj.weight"] = rng.random((dim, 3, 4, 4)).astype(np.float32)
+        sd["patch_embed.proj.bias"] = rng.random(dim).astype(np.float32)
+        sd["patch_embed.norm.weight"] = np.ones(dim, np.float32)
+        sd["patch_embed.norm.bias"] = np.zeros(dim, np.float32)
+        for s, depth in enumerate(depths):
+            d = dim * (2**s)
+            for b in range(depth):
+                t = f"layers.{s}.blocks.{b}"
+                sd[f"{t}.norm1.weight"] = np.ones(d, np.float32)
+                sd[f"{t}.norm1.bias"] = np.zeros(d, np.float32)
+                sd[f"{t}.norm2.weight"] = np.ones(d, np.float32)
+                sd[f"{t}.norm2.bias"] = np.zeros(d, np.float32)
+                sd[f"{t}.attn.qkv.weight"] = rng.random((3 * d, d)).astype(np.float32)
+                sd[f"{t}.attn.qkv.bias"] = rng.random(3 * d).astype(np.float32)
+                sd[f"{t}.attn.proj.weight"] = rng.random((d, d)).astype(np.float32)
+                sd[f"{t}.attn.proj.bias"] = rng.random(d).astype(np.float32)
+                sd[f"{t}.attn.relative_position_bias_table"] = rng.random(
+                    ((2 * window - 1) ** 2, heads[s])).astype(np.float32)
+                sd[f"{t}.mlp.fc1.weight"] = rng.random((4 * d, d)).astype(np.float32)
+                sd[f"{t}.mlp.fc1.bias"] = rng.random(4 * d).astype(np.float32)
+                sd[f"{t}.mlp.fc2.weight"] = rng.random((d, 4 * d)).astype(np.float32)
+                sd[f"{t}.mlp.fc2.bias"] = rng.random(d).astype(np.float32)
+            if s < len(depths) - 1:
+                sd[f"layers.{s}.downsample.norm.weight"] = np.ones(4 * d, np.float32)
+                sd[f"layers.{s}.downsample.norm.bias"] = np.zeros(4 * d, np.float32)
+                sd[f"layers.{s}.downsample.reduction.weight"] = rng.random(
+                    (2 * d, 4 * d)).astype(np.float32)
+        last = dim * (2 ** (len(depths) - 1))
+        sd["norm.weight"] = np.ones(last, np.float32)
+        sd["norm.bias"] = np.zeros(last, np.float32)
+        sd["head.fc.weight"] = rng.random((3, last)).astype(np.float32)
+        sd["head.fc.bias"] = rng.random(3).astype(np.float32)
+
+        variables = port_swin(sd, depths=depths)
+        # tree structure matches the flax init
+        flat_ref = jax.tree_util.tree_flatten_with_path(ref)[0]
+        flat_got = jax.tree_util.tree_flatten_with_path(
+            variables["params"])[0]
+        assert {jax.tree_util.keystr(k) for k, _ in flat_ref} == \
+               {jax.tree_util.keystr(k) for k, _ in flat_got}
+        # spot-check transposition
+        np.testing.assert_allclose(
+            variables["params"]["stage0_block0"]["attn"]["qkv"]["kernel"],
+            sd["layers.0.blocks.0.attn.qkv.weight"].T)
+        # the ported model runs
+        out = fm.apply(variables, jnp.ones((1, size, size, 3)))
+        assert out.shape == (1, 3) and np.all(np.isfinite(out))
