@@ -40,7 +40,7 @@ def default_generate_fn(request: Dict) -> Dict:
     from advshadow_tpu.models import make_network
     from advshadow_tpu.ops.image import to_uint8
     from advshadow_tpu.samplers import make_denoise_fn, make_sampler
-    from advshadow_tpu.utils.images import save_one_image_in_images
+    from advshadow_tpu.utils.images import save_images
 
     from advshadow_tpu.train.checkpoint import load_ckpt
 
@@ -89,8 +89,9 @@ def default_generate_fn(request: Dict) -> Dict:
     os.makedirs(result_path, exist_ok=True)
     for i in range(num_images):
         name = uuid.uuid1()
-        save_one_image_in_images(imgs[i: i + 1], result_path, str(name),
-                                 image_format="jpg")
+        # exact reported filename (ref: tools/deploy.py:74-80)
+        save_images(imgs[i: i + 1], os.path.join(result_path, f"{name}.jpg"),
+                    nrow=1)
         re_json["image"].append({"image_id": str(name),
                                  "image_name": f"{name}.jpg"})
     return re_json

@@ -460,3 +460,34 @@ class TestFullStory:
                          "--folder2", str(tmp_path / "atk"),
                          "--image_size", "32"])
         assert np.isfinite(fid["fid"]) and fid["fid"] >= -1.0
+
+
+class TestDeployGeneratePath:
+    def test_serve_from_trained_checkpoint(self, dataset, tmp_path):
+        """End-to-end serve: train a tiny model, then answer a live socket
+        request through default_generate_fn (ckpt-metadata-driven)."""
+        import time
+
+        from advshadow_tpu.cli.train import main as train_main
+
+        out = train_main([
+            "--dataset_path", dataset, "--result_path", str(tmp_path / "r"),
+            "--run_name", "srv", "--sample", "ddim", "--vis", "",
+            "--epochs", "1", *TINY[:-2],
+        ])
+        ckpt = os.path.join(out["results_dir"], "ckpt_last")
+
+        server = DeployServer(port=0)
+        server.start(background=True)
+        try:
+            time.sleep(0.2)
+            resp = send_request("localhost", server.port, {
+                "sample": "ddim", "num_images": 1, "weight_path": ckpt,
+                "result_path": str(tmp_path / "served"), "class_name": 1,
+                "use_ema": True,
+            })
+            data = json.loads(resp)
+            name = data["image"][0]["image_name"]
+            assert os.path.exists(tmp_path / "served" / name)
+        finally:
+            server.stop()
