@@ -122,7 +122,7 @@ def train_shadow(args) -> dict:
     coeffs = make_diffusion(1000, args.noise_schedule)
     config = TrainConfig(lr=args.lr, optim=args.optim, lr_func=args.lr_func,
                          epochs=args.epochs, steps_per_epoch=steps_per_epoch,
-                         conditional=True)
+                         conditional=True, loss=getattr(args, "loss", "mse"))
     sample_x = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3))
     sample_y = jnp.zeros((args.batch_size,), jnp.int32)
     state = create_train_state(model, rng, sample_x, config, labels=sample_y)

@@ -58,9 +58,11 @@ def load_folder_images(
     imgs: List[np.ndarray] = []
     labels: List[int] = []
     kept: List[str] = []
+    skipped = 0
     for n in names:
         cls = true_label_from_filename(n)
         if label_to_int is not None and cls not in label_to_int:
+            skipped += 1
             continue
         with Image.open(os.path.join(folder, n)) as im:
             im = im.convert("RGB").resize((image_size, image_size),
@@ -68,6 +70,13 @@ def load_folder_images(
             imgs.append(np.asarray(im, np.float32) / 255.0)
         labels.append(label_to_int[cls] if label_to_int else -1)
         kept.append(n)
+    if skipped:
+        import warnings
+
+        warnings.warn(
+            f"{skipped}/{len(names)} files skipped: filename prefix not in "
+            f"the label map (ASR expects '<class>_<i>.<ext>' names)",
+            stacklevel=2)
     return (np.stack(imgs) if imgs else np.zeros((0, image_size, image_size, 3))), \
         np.asarray(labels, np.int32), kept
 
