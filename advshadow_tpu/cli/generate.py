@@ -81,8 +81,14 @@ def generate(args) -> np.ndarray:
 
     denoise = make_denoise_fn(model.apply, params, labels, cfg_scale)
     sampler = make_sampler(sample)
+    kwargs = {}
+    if sample == "plms" and conditional:
+        # the reference's PLMS bootstrap forward skips CFG
+        # (ref: model/samples/plms.py:104-108)
+        kwargs["boot_denoise_fn"] = make_denoise_fn(model.apply, params,
+                                                    labels, None)
     x = sampler(coeffs, denoise, jax.random.PRNGKey(args.seed),
-                (n, image_size, image_size, 3))
+                (n, image_size, image_size, 3), **kwargs)
     imgs = np.asarray(to_uint8(x))
 
     out_dir = f"{args.result_path}/{int(time.time())}"

@@ -81,8 +81,13 @@ def default_generate_fn(request: Dict) -> Dict:
                                            "framework_linear"))
     denoise = make_denoise_fn(model.apply, params, labels, cfg_scale)
     sampler = make_sampler(sample)
+    kwargs = {}
+    if sample == "plms" and conditional:
+        kwargs["boot_denoise_fn"] = make_denoise_fn(model.apply, params,
+                                                    labels, None)
     rng = jax.random.PRNGKey(int(request.get("seed", 0)))
-    x = sampler(coeffs, denoise, rng, (num_images, image_size, image_size, 3))
+    x = sampler(coeffs, denoise, rng,
+                (num_images, image_size, image_size, 3), **kwargs)
     imgs = np.asarray(to_uint8(x))
 
     re_json = {"image": []}
