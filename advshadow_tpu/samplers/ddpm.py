@@ -31,9 +31,13 @@ def ddpm_sample(
     denoise_fn: DenoiseFn,
     rng: jax.Array,
     shape: Sequence[int],
+    return_all: bool = False,
 ) -> jax.Array:
     """Vendored-framework DDPM reverse process. Returns x in [-1, 1] space
-    (callers convert with :func:`advshadow_tpu.ops.image.to_uint8`)."""
+    (callers convert with :func:`advshadow_tpu.ops.image.to_uint8`).
+    ``return_all`` stacks every intermediate state [T-1, *shape] — the
+    reference's save-image-every-step option
+    (ref: model/samples/ddpm.py:90-93) without per-step host syncs."""
     T = coeffs.num_timesteps
     n = shape[0]
     rng, init_rng = jax.random.split(rng)
@@ -56,10 +60,10 @@ def ddpm_sample(
             * (x - ((1 - alpha) / jnp.sqrt(1 - alpha_hat)) * eps)
             + jnp.sqrt(beta) * noise
         )
-        return x, None
+        return x, (x if return_all else None)
 
-    x, _ = jax.lax.scan(step, x0, (ts, step_rngs))
-    return x
+    x, xs = jax.lax.scan(step, x0, (ts, step_rngs))
+    return xs if return_all else x
 
 
 def p_sample_loop(
@@ -68,8 +72,12 @@ def p_sample_loop(
     rng: jax.Array,
     shape: Sequence[int],
     clip_denoised: bool = True,
+    return_all: bool = False,
 ) -> jax.Array:
-    """Hand-rolled posterior sampler (ref: diff_model.py:385-408)."""
+    """Hand-rolled posterior sampler (ref: diff_model.py:385-408).
+    ``return_all`` returns the whole trajectory like the reference's
+    ``imgs`` list (without its per-step ``.cpu()`` sync, diff_model.py:407).
+    """
     T = coeffs.num_timesteps
     n = shape[0]
     rng, init_rng = jax.random.split(rng)
@@ -85,7 +93,7 @@ def p_sample_loop(
         noise = jax.random.normal(key, x.shape, x.dtype)
         nonzero = (i != 0).astype(x.dtype)
         x = mean + nonzero * jnp.exp(0.5 * log_var) * noise
-        return x, None
+        return x, (x if return_all else None)
 
-    x, _ = jax.lax.scan(step, x0, (ts, step_rngs))
-    return x
+    x, xs = jax.lax.scan(step, x0, (ts, step_rngs))
+    return xs if return_all else x

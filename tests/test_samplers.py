@@ -185,3 +185,21 @@ class TestCFG:
         assert float(fn(jnp.ones(SHAPE), jnp.array([1, 1]))[0, 0, 0, 0]) == 1.0
         fn_u = make_denoise_fn(apply_fn, None, None, None)
         assert float(fn_u(jnp.ones(SHAPE), jnp.array([1, 1]))[0, 0, 0, 0]) == 0.0
+
+
+class TestReturnAll:
+    def test_ddpm_trajectory(self):
+        coeffs = make_diffusion(T, "framework_linear")
+        traj = ddpm_sample(coeffs, linear_denoiser, jax.random.PRNGKey(0),
+                           SHAPE, return_all=True)
+        assert traj.shape == (T - 1, *SHAPE)
+        # last frame equals the non-trajectory result
+        final = ddpm_sample(coeffs, linear_denoiser, jax.random.PRNGKey(0),
+                            SHAPE)
+        np.testing.assert_allclose(traj[-1], final, atol=1e-5)
+
+    def test_p_sample_loop_trajectory(self):
+        coeffs = make_diffusion(T, "framework_linear")
+        traj = p_sample_loop(coeffs, linear_denoiser, jax.random.PRNGKey(1),
+                             SHAPE, return_all=True)
+        assert traj.shape == (T, *SHAPE)
