@@ -29,6 +29,7 @@ def plms_sample(
     eta: float = 0.0,
     clip_denoised: bool = True,
     boot_denoise_fn: DenoiseFn | None = None,
+    return_all: bool = False,
 ) -> jax.Array:
     """Sample with PLMS.  ``boot_denoise_fn`` is used for the bootstrap's
     extra forward; the reference skips CFG there (ref:
@@ -88,10 +89,10 @@ def plms_sample(
         )
         x_new = update(x, eps_prime, abar_t, abar_prev, noise)
         hist_new = jnp.concatenate([eps[None], hist[:2]], axis=0)
-        return (x_new, hist_new, count + 1), None
+        return (x_new, hist_new, count + 1), (x_new if return_all else None)
 
     hist0 = jnp.zeros((3,) + tuple(shape), dtype=jnp.float32)
-    (x, _, _), _ = jax.lax.scan(
+    (x, _, _), xs = jax.lax.scan(
         step, (x_init, hist0, jnp.int32(0)), (ts, prev_ts, step_rngs)
     )
-    return x
+    return xs if return_all else x
