@@ -218,14 +218,18 @@ def train(args) -> dict:
             n = num_classes if args.num_vis <= 0 else args.num_vis
             n = min(n, 16)
             labels = jnp.arange(n, dtype=jnp.int32) if args.conditional else None
-            denoise = make_denoise_fn(model.apply, state.ema_params, labels,
-                                      args.cfg_scale if args.conditional else None)
-            rng, vis_rng = jax.random.split(rng)
-            x = sampler(coeffs, denoise, vis_rng,
-                        (n, args.image_size, args.image_size, 3))
-            save_images(np.asarray(to_uint8(x)),
-                        f"{dirs['vis_dir']}/{args.run_name}-{epoch}."
-                        f"{args.image_format}")
+            # the reference saves grids from BOTH the raw and the EMA model
+            # per epoch (ref: tools/train.py:240-258)
+            for tag, p_ in (("", state.params), ("_ema", state.ema_params)):
+                denoise = make_denoise_fn(
+                    model.apply, p_, labels,
+                    args.cfg_scale if args.conditional else None)
+                rng, vis_rng = jax.random.split(rng)
+                x = sampler(coeffs, denoise, vis_rng,
+                            (n, args.image_size, args.image_size, 3))
+                save_images(np.asarray(to_uint8(x)),
+                            f"{dirs['vis_dir']}/{args.run_name}-{epoch}{tag}."
+                            f"{args.image_format}")
 
         if jax.process_index() == 0:
             save_ckpt(
