@@ -19,6 +19,7 @@ __all__ = [
     "rasterize_triangle",
     "generate_triangle_shadow",
     "adjust_shadow_brightness",
+    "adjust_shadow_brightness_lab",
     "add_shadow_to_mask_area",
 ]
 
@@ -91,6 +92,21 @@ def adjust_shadow_brightness(
     m = mask.astype(bool)
     out[m] *= factor
     return np.clip(out, 0, 255).astype(np.uint8)
+
+
+def adjust_shadow_brightness_lab(
+    image: np.ndarray, mask: np.ndarray, factor: float = 0.43
+) -> np.ndarray:
+    """LAB-space variant: scale only the L channel inside the mask
+    (ref: add_shadow.py:11-32). Requires OpenCV; uint8 RGB in/out."""
+    import cv2
+
+    lab = cv2.cvtColor(image, cv2.COLOR_RGB2Lab)
+    l, a, b = cv2.split(lab)
+    l = l.astype(np.float32)
+    l = np.where(mask.astype(bool), l * factor, l)
+    l = np.clip(l, 0, 255).astype(np.uint8)
+    return cv2.cvtColor(cv2.merge([l, a, b]), cv2.COLOR_Lab2RGB)
 
 
 def add_shadow_to_mask_area(

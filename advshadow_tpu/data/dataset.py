@@ -115,10 +115,22 @@ def default_transform(image_size: int):
 
 
 class ImageFolderDataset:
-    """Class-per-subdir dataset yielding ([-1,1] HWC float, int label)."""
+    """Class-per-subdir dataset yielding ([-1,1] HWC float, int label).
 
-    def __init__(self, root: str, image_size: int = 64, seed: int = 0):
+    ``split``/``val_fraction`` give the 80/20 train/val behavior of the
+    reference's ad-hoc driver (ref: main.py:69-78): a seeded permutation
+    is partitioned so 'train' and 'val' are disjoint and reproducible.
+    """
+
+    def __init__(self, root: str, image_size: int = 64, seed: int = 0,
+                 split: Optional[str] = None, val_fraction: float = 0.2):
         self.paths, self.labels, self.classes = list_image_folder(root)
+        if split is not None:
+            perm = np.random.default_rng(seed).permutation(len(self.paths))
+            n_val = int(round(len(perm) * val_fraction))
+            idx = perm[n_val:] if split == "train" else perm[:n_val]
+            self.paths = [self.paths[i] for i in idx]
+            self.labels = [self.labels[i] for i in idx]
         self.transform = default_transform(image_size)
         self.rng = np.random.default_rng(seed)
 

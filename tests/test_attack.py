@@ -260,3 +260,17 @@ class TestIGClosedForm:
         np.testing.assert_allclose(np.asarray(pert), np.asarray(p), atol=1e-6)
         np.testing.assert_allclose(np.asarray(adv), np.asarray(expected_adv),
                                    atol=1e-6)
+
+
+class TestProceduralLab:
+    def test_lab_brightness_darkens_masked_region(self):
+        from advshadow_tpu.attack.procedural import (
+            adjust_shadow_brightness_lab,
+        )
+
+        img = np.full((8, 8, 3), 180, np.uint8)
+        mask = np.zeros((8, 8), bool)
+        mask[2:6, 2:6] = True
+        out = adjust_shadow_brightness_lab(img, mask, factor=0.4)
+        assert out[3, 3].mean() < img[3, 3].mean() * 0.7
+        assert abs(int(out[0, 0].mean()) - 180) <= 2  # outside unchanged

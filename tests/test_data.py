@@ -125,3 +125,13 @@ class TestBatchLoader:
         loader.epoch += 1
         i2 = loader._indices().tolist()
         assert i1 != i2 and sorted(i1) == sorted(i2)
+
+
+class TestTrainValSplit:
+    def test_disjoint_reproducible(self, image_folder):
+        tr = ImageFolderDataset(image_folder, 16, seed=5, split="train")
+        va = ImageFolderDataset(image_folder, 16, seed=5, split="val")
+        assert len(tr) == 6 and len(va) == 2  # 80/20 of 8
+        assert set(tr.paths).isdisjoint(va.paths)
+        tr2 = ImageFolderDataset(image_folder, 16, seed=5, split="train")
+        assert tr.paths == tr2.paths
