@@ -106,6 +106,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--channels", type=str, default=None,
                    help="comma-separated channel list override, e.g. "
                         "'8,16,32,64,128,256' (unet/cspdarkunet)")
+    p.add_argument("--model_channels", type=int, default=None,
+                   help="base width override for the unet_ddpm family")
     return p
 
 
@@ -146,6 +148,8 @@ def train(args) -> dict:
     if getattr(args, "channels", None):
         net_kwargs["channel"] = tuple(
             int(c) for c in args.channels.split(","))
+    if getattr(args, "model_channels", None):
+        net_kwargs["model_channels"] = args.model_channels
     model = make_network(
         args.network,
         num_classes=num_classes if args.conditional else None,

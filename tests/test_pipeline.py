@@ -341,7 +341,7 @@ class TestUnconditionalPipeline:
             "--dataset_path", dataset, "--result_path", str(tmp_path / "u"),
             "--run_name", "uncond", "--conditional", "",
             "--network", "unet_ddpm", "--noise_schedule", "cosine",
-            "--sample", "ddim", "--vis", "",
+            "--sample", "ddim", "--vis", "", "--model_channels", "32",
             "--image_size", "16", "--batch_size", "4", "--epochs", "1",
         ])
         assert np.isfinite(out["loss"][-1])
