@@ -1,0 +1,255 @@
+"""Benchmark suite — the five BASELINE.md configs as runnable measurements.
+
+Each config prints one JSON line (same shape as bench.py) so results can
+be collected across rounds:
+
+1. single-224: one 224x224 image, DDIM shadow synthesis + ResNet attack
+   (the reference main.py path, which it runs on CPU per image).
+2. batch64-ddim50: batch-64 DDIM-50 generation + shadow attack + ResNet
+   ASR eval over a 1k-image synthetic val subset.
+3. vit-victim: ViT-B/16 victim with gradient-guided shadow optimization.
+4. mask-pipeline: offline mask extraction (detector + native GrabCut)
+   over a synthetic dataset folder — imgs/sec (the reference reports
+   ~0.2 imgs/sec for this stage, mask_for_dataset.py:1).
+5. sweep: multi-config ASR + PSNR/SSIM + FID over generated vs attacked
+   batches (sized to the available chips; the v5e-8 sweep shape).
+
+Usage: python benchmarks/suite.py [config ...]   (default: all)
+BENCH_SMALL=1 shrinks everything for CI smoke.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _result(name, value, unit, baseline=None):
+    out = {"metric": name, "value": round(float(value), 3), "unit": unit}
+    if baseline:
+        out["vs_baseline"] = round(float(value) / baseline, 3)
+    print(json.dumps(out))
+    return out
+
+
+def _setup():
+    from advshadow_tpu.utils.runtime import runtime_init
+
+    runtime_init()
+    small = os.environ.get("BENCH_SMALL", "0") == "1"
+    return small
+
+
+def _victim(name, image_size, num_classes=37):
+    from advshadow_tpu.victims import make_victim_fn, make_victim_model
+
+    model = make_victim_model(name, num_classes=num_classes)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3)))
+    return make_victim_fn(model, variables)
+
+
+def config_single_224(small):
+    """Config 1: single 224x224 image shadow synthesis + ResNet attack."""
+    from advshadow_tpu.attack import EVAL_CONFIG, ShadowOptConfig, \
+        optimize_shadow_position
+
+    size = 64 if small else 224
+    cfg = (ShadowOptConfig(iterations=2, inner_iterations=2, inner_steps=4)
+           if small else EVAL_CONFIG)
+    victim_fn = _victim("resnet18", size)
+    rng = jax.random.PRNGKey(0)
+    image = jax.random.uniform(rng, (size, size, 3))
+    mask = jnp.ones((size, size))
+
+    fn = jax.jit(lambda im, k: optimize_shadow_position(
+        victim_fn, im, mask, jnp.int32(3), k, cfg).image)
+    fn(image, rng).block_until_ready()  # compile
+    reps = 3
+    t0 = time.time()
+    for i in range(reps):
+        out = fn(image * (1 + 1e-6 * i), jax.random.fold_in(rng, i))
+    np.asarray(out)
+    dt = (time.time() - t0) / reps
+    return _result("single-224 shadow attack latency", dt * 1000, "ms/img")
+
+
+def config_batch64(small):
+    """Config 2: batch-64 DDIM-50 generation + attack + ASR on a 1k subset."""
+    from advshadow_tpu.attack import EVAL_CONFIG, ShadowOptConfig, \
+        batched_optimize_shadow
+    from advshadow_tpu.core import make_diffusion
+    from advshadow_tpu.eval import compute_asr
+    from advshadow_tpu.models import UNetModel
+    from advshadow_tpu.samplers import ddim_sample, make_denoise_fn
+
+    size = 32 if small else 64
+    batch = 8 if small else 64
+    subset = 32 if small else 1024
+    steps = 10 if small else 50
+    cfg = (ShadowOptConfig(iterations=2, inner_iterations=2, inner_steps=4)
+           if small else EVAL_CONFIG)
+
+    model = UNetModel(model_channels=32 if small else 64, num_res_blocks=2,
+                      channel_mult=(1, 2, 2), attention_resolutions=(8,),
+                      num_heads=4, num_classes=37,
+                      dtype=None if small else jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    y = jnp.arange(batch, dtype=jnp.int32) % 37
+    params = jax.jit(model.init)(
+        rng, jnp.zeros((batch, size, size, 3)), jnp.zeros((batch,), jnp.int32), y)
+    coeffs = make_diffusion(1000, "linear")
+    denoise = make_denoise_fn(model.apply, params, y, 3.0)
+    victim_fn = _victim("resnet18", size)
+    masks = jnp.ones((batch, size, size))
+
+    @jax.jit
+    def one_batch(key):
+        imgs = ddim_sample(coeffs, denoise, key, (batch, size, size, 3),
+                           ddim_timesteps=steps)
+        imgs01 = (jnp.clip(imgs, -1, 1) + 1) / 2
+        return batched_optimize_shadow(victim_fn, imgs01, masks,
+                                       (y + 1) % 37, key, cfg).image
+
+    one_batch(jax.random.PRNGKey(1)).block_until_ready()  # compile
+    n_batches = subset // batch
+    t0 = time.time()
+    attacked = []
+    for i in range(n_batches):
+        attacked.append(one_batch(jax.random.fold_in(rng, i)))
+    attacked = jnp.concatenate(attacked)
+    asr = compute_asr(victim_fn, attacked,
+                      jnp.tile(y, n_batches)[: attacked.shape[0]])
+    dt = time.time() - t0
+    log(f"ASR on {subset}-image subset (random victim): {asr['asr']:.3f}")
+    return _result("batch64 DDIM-50 attack+eval throughput",
+                   subset / dt, "imgs/sec", baseline=10.417)
+
+
+def config_vit_victim(small):
+    """Config 3: ViT victim with gradient-guided shadow optimization."""
+    from advshadow_tpu.attack import ShadowOptConfig, batched_optimize_shadow
+
+    size = 64 if small else 224
+    batch = 2 if small else 16
+    victim_fn = _victim("vit_s16" if small else "vit_b16", size)
+    cfg = ShadowOptConfig(iterations=2 if small else 11,
+                          inner_iterations=2 if small else 10,
+                          inner_steps=4 if small else 20)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (batch, size, size, 3))
+    masks = jnp.ones((batch, size, size))
+    targets = jnp.arange(batch, dtype=jnp.int32) % 37
+
+    fn = jax.jit(lambda im, k: batched_optimize_shadow(
+        victim_fn, im, masks, targets, k, cfg).image)
+    fn(imgs, rng).block_until_ready()
+    t0 = time.time()
+    out = fn(imgs * (1 + 1e-6), jax.random.fold_in(rng, 1))
+    np.asarray(out)
+    dt = time.time() - t0
+    return _result("vit-victim shadow attack throughput",
+                   batch / dt, "imgs/sec")
+
+
+def config_mask_pipeline(small):
+    """Config 4: offline mask extraction throughput (native GrabCut)."""
+    import tempfile
+
+    from PIL import Image
+
+    from advshadow_tpu.masks import extract_and_save_masks
+
+    n = 4 if small else 16
+    size = 200 if small else 600
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "imgs")
+        dst = os.path.join(tmp, "masks")
+        os.makedirs(src)
+        for i in range(n):
+            arr = np.full((size, int(size * 0.75), 3), 240, np.uint8)
+            h, w = arr.shape[:2]
+            arr[h // 4: 3 * h // 4, w // 4: 3 * w // 4] = rng.integers(
+                30, 120, 3)
+            Image.fromarray(arr).save(os.path.join(src, f"img_{i}.png"))
+        t0 = time.time()
+        written = extract_and_save_masks(src, dst)
+        dt = time.time() - t0
+    # reference: ~0.2 imgs/sec (5 s/image, mask_for_dataset.py:1)
+    return _result("mask extraction throughput", written / dt, "imgs/sec",
+                   baseline=0.2)
+
+
+def config_sweep(small):
+    """Config 5: ASR + PSNR/SSIM + FID sweep over attack configs."""
+    from advshadow_tpu.attack import DIFF2_CONFIG, EVAL_CONFIG, TRAIN_CONFIG, \
+        ShadowOptConfig, batched_optimize_shadow
+    from advshadow_tpu.eval import batch_psnr_ssim, compute_asr, \
+        fid_from_features
+
+    size = 32 if small else 64
+    batch = 8 if small else 128
+    victim_fn = _victim("resnet18", size)
+    rng = jax.random.PRNGKey(0)
+    imgs = jax.random.uniform(rng, (batch, size, size, 3))
+    masks = jnp.ones((batch, size, size))
+    targets = jnp.arange(batch, dtype=jnp.int32) % 37
+
+    presets = {"eval": EVAL_CONFIG, "diff2": DIFF2_CONFIG,
+               "train": TRAIN_CONFIG}
+    if small:
+        presets = {k: ShadowOptConfig(iterations=1, inner=v.inner,
+                                      inner_iterations=1, inner_steps=2)
+                   for k, v in presets.items()}
+    t0 = time.time()
+    rows = {}
+    for name, cfg in presets.items():
+        atk = batched_optimize_shadow(victim_fn, imgs, masks, targets,
+                                      rng, cfg).image
+        asr = compute_asr(victim_fn, atk, targets)
+        s, p = batch_psnr_ssim(imgs, atk)
+        feats_a = victim_fn(imgs)
+        feats_b = victim_fn(atk)
+        fid = float(fid_from_features(feats_a, feats_b))
+        rows[name] = {"asr": round(asr["asr"], 3),
+                      "ssim": round(float(s), 4),
+                      "psnr": round(float(p), 2), "fid": round(fid, 3)}
+        log(f"sweep[{name}]: {rows[name]}")
+    dt = time.time() - t0
+    out = _result("attack-config sweep wall time", dt, "sec")
+    out["rows"] = rows
+    return out
+
+
+CONFIGS = {
+    "single-224": config_single_224,
+    "batch64-ddim50": config_batch64,
+    "vit-victim": config_vit_victim,
+    "mask-pipeline": config_mask_pipeline,
+    "sweep": config_sweep,
+}
+
+
+def main(argv=None):
+    small = _setup()
+    names = (argv or sys.argv[1:]) or list(CONFIGS)
+    results = {}
+    for name in names:
+        log(f"=== {name} ===")
+        results[name] = CONFIGS[name](small)
+    return results
+
+
+if __name__ == "__main__":
+    main()

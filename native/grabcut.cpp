@@ -367,12 +367,17 @@ int advshadow_grabcut(const uint8_t* img, int h, int w, uint8_t* mask,
         if (x < w - 1 && y > 0) nlink(i - w + 1, inv_sqrt2);
       }
 
-    // 4. min cut, 5. update probable labels
+    // 4. min cut, 5. update probable labels (early-exit when converged,
+    // mirroring OpenCV's fixed-point behavior)
     g.maxflow();
+    int changed = 0;
     for (int i = 0; i < n; i++) {
       if (m[i] == GC_BGD || m[i] == GC_FGD) continue;
-      m[i] = g.in_source_segment(i) ? GC_PR_FGD : GC_PR_BGD;
+      uint8_t next = g.in_source_segment(i) ? GC_PR_FGD : GC_PR_BGD;
+      changed += (next != m[i]);
+      m[i] = next;
     }
+    if (changed == 0 && it > 0) break;
   }
   std::memcpy(mask, m.data(), n);
   return 0;
