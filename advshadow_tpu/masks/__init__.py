@@ -2,9 +2,16 @@ from advshadow_tpu.masks.extract import (
     combine_detection_masks,
     extract_and_save_masks,
     grabcut_refine,
+    make_jax_maskrcnn_detector,
     make_opencv_maskrcnn_detector,
     process_image,
     saliency_rect_detector,
+)
+from advshadow_tpu.masks.maskrcnn import (
+    Detections,
+    MaskRCNN,
+    MaskRCNNConfig,
+    detections_to_opencv,
 )
 from advshadow_tpu.masks.tools import (
     auto_label_folder,
@@ -14,9 +21,14 @@ from advshadow_tpu.masks.tools import (
 )
 
 __all__ = [
+    "Detections",
+    "MaskRCNN",
+    "MaskRCNNConfig",
+    "detections_to_opencv",
     "combine_detection_masks",
     "extract_and_save_masks",
     "grabcut_refine",
+    "make_jax_maskrcnn_detector",
     "make_opencv_maskrcnn_detector",
     "process_image",
     "saliency_rect_detector",

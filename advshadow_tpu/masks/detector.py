@@ -159,16 +159,21 @@ def generate_anchors(
 
 
 def decode_boxes(anchors: jax.Array, deltas: jax.Array,
-                 clip_hw: Tuple[int, int] | None = None) -> jax.Array:
-    """Anchor-relative (dx, dy, dw, dh) decoding (R-CNN convention)."""
+                 clip_hw: Tuple[int, int] | None = None,
+                 weights: Tuple[float, float, float, float] = (1., 1., 1., 1.),
+                 ) -> jax.Array:
+    """Anchor-relative (dx, dy, dw, dh) decoding (R-CNN convention;
+    ``weights`` divide the deltas — torchvision uses (1,1,1,1) for the
+    RPN and (10,10,5,5) for the ROI heads)."""
+    wx, wy, ww, wh = weights
     aw = anchors[:, 2] - anchors[:, 0]
     ah = anchors[:, 3] - anchors[:, 1]
     acx = anchors[:, 0] + aw / 2
     acy = anchors[:, 1] + ah / 2
-    cx = acx + deltas[:, 0] * aw
-    cy = acy + deltas[:, 1] * ah
-    w = aw * jnp.exp(jnp.clip(deltas[:, 2], -10, 10))
-    h = ah * jnp.exp(jnp.clip(deltas[:, 3], -10, 10))
+    cx = acx + deltas[:, 0] / wx * aw
+    cy = acy + deltas[:, 1] / wy * ah
+    w = aw * jnp.exp(jnp.clip(deltas[:, 2] / ww, -10, 10))
+    h = ah * jnp.exp(jnp.clip(deltas[:, 3] / wh, -10, 10))
     boxes = jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
     if clip_hw is not None:
         H, W = clip_hw

@@ -32,6 +32,7 @@ __all__ = [
     "combine_detection_masks",
     "grabcut_refine",
     "make_opencv_maskrcnn_detector",
+    "make_jax_maskrcnn_detector",
     "saliency_rect_detector",
     "process_image",
     "extract_and_save_masks",
@@ -207,3 +208,39 @@ def extract_and_save_masks(
         cv2.imwrite(os.path.join(output_path, f"mask_{name}"), mask)
         written += 1
     return written
+
+
+def make_jax_maskrcnn_detector(variables=None, num_classes: int = 91,
+                               image_size: int = 512, **config_kwargs):
+    """TPU-native Mask-RCNN detector (:mod:`advshadow_tpu.masks.maskrcnn`)
+    in the same ``detect_fn(image_bgr) -> (boxes, masks)`` interface as
+    the OpenCV DNN path — the SURVEY §2.7 re-host.  ``variables`` are
+    ported torchvision weights (:func:`advshadow_tpu.victims.port.port_maskrcnn`);
+    None initializes randomly (pipeline smoke mode).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from advshadow_tpu.masks.maskrcnn import MaskRCNN, MaskRCNNConfig, \
+        detections_to_opencv
+    from advshadow_tpu.victims.zoo import imagenet_normalize
+
+    cfg = MaskRCNNConfig(num_classes=num_classes, **config_kwargs)
+    model = MaskRCNN(cfg)
+    if variables is None:
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((image_size, image_size, 3)))
+    apply_fn = jax.jit(model.apply)
+
+    def detect(image_bgr: np.ndarray):
+        rgb = image_bgr[..., ::-1].astype(np.float32) / 255.0
+        h, w = rgb.shape[:2]
+        if _HAS_CV2:
+            rgb = cv2.resize(rgb, (image_size, image_size))
+        x = imagenet_normalize(jnp.asarray(rgb))
+        det = apply_fn(variables, x)
+        return detections_to_opencv(det, (image_size, image_size),
+                                    num_classes)
+
+    return detect

@@ -21,7 +21,7 @@ import numpy as np
 
 __all__ = ["convert_conv", "convert_linear", "port_resnet", "port_vgg",
            "port_generic", "port_inception", "port_vit", "port_convnext",
-           "port_efficientnetv2", "port_swin"]
+           "port_efficientnetv2", "port_swin", "port_maskrcnn"]
 
 Array = np.ndarray
 
@@ -418,3 +418,82 @@ def port_swin(sd: Mapping[str, Array],
     head_key = "head.fc" if "head.fc.weight" in sd else "head"
     params["head"] = dense(head_key)
     return {"params": params}
+
+
+def port_maskrcnn(sd: Mapping[str, Array],
+                  stage_sizes=(3, 4, 6, 3)) -> Dict[str, Dict]:
+    """torchvision ``maskrcnn_resnet50_fpn`` state_dict ->
+    :class:`advshadow_tpu.masks.maskrcnn.MaskRCNN` variables.
+
+    Handles both torchvision naming eras (plain conv ``inner_blocks.N`` /
+    ``rpn.head.conv`` vs Conv2dNormActivation-wrapped ``...N.0``).
+    """
+    def get(*names):
+        for n in names:
+            if n in sd:
+                return np.asarray(sd[n])
+        raise KeyError(names[0])
+
+    def conv(prefix_options, bias=True):
+        w = get(*[f"{p}.weight" for p in prefix_options])
+        out = {"kernel": convert_conv(w)}
+        if bias:
+            try:
+                out["bias"] = get(*[f"{p}.bias" for p in prefix_options])
+            except KeyError:
+                pass
+        return out
+
+    # backbone resnet (reuse the resnet porter on the body.* sub-dict)
+    body_sd = {k[len("backbone.body."):]: v for k, v in sd.items()
+               if k.startswith("backbone.body.")}
+    # torchvision detection resnet has no fc head; add dummies for the
+    # porter then drop them
+    body_sd.setdefault("fc.weight", np.zeros((1, 2048), np.float32))
+    body_sd.setdefault("fc.bias", np.zeros((1,), np.float32))
+    body = port_resnet(body_sd, stage_sizes=stage_sizes)
+    body["params"].pop("fc")
+
+    params: Dict = {"body": body["params"]}
+    stats: Dict = {"body": body["batch_stats"]}
+
+    fpn: Dict = {}
+    for i in range(4):
+        fpn[f"inner{i}"] = conv((f"backbone.fpn.inner_blocks.{i}.0",
+                                 f"backbone.fpn.inner_blocks.{i}"))
+        fpn[f"layer{i}"] = conv((f"backbone.fpn.layer_blocks.{i}.0",
+                                 f"backbone.fpn.layer_blocks.{i}"))
+    params["fpn"] = fpn
+
+    params["rpn_head"] = {
+        "conv": conv(("rpn.head.conv.0.0", "rpn.head.conv")),
+        "cls_logits": conv(("rpn.head.cls_logits",)),
+        "bbox_pred": conv(("rpn.head.bbox_pred",)),
+    }
+    params["box_head"] = {
+        "fc6": {"kernel": convert_linear(get("roi_heads.box_head.fc6.weight")),
+                "bias": get("roi_heads.box_head.fc6.bias")},
+        "fc7": {"kernel": convert_linear(get("roi_heads.box_head.fc7.weight")),
+                "bias": get("roi_heads.box_head.fc7.bias")},
+        "cls_score": {
+            "kernel": convert_linear(get("roi_heads.box_predictor.cls_score.weight")),
+            "bias": get("roi_heads.box_predictor.cls_score.bias")},
+        "bbox_pred": {
+            "kernel": convert_linear(get("roi_heads.box_predictor.bbox_pred.weight")),
+            "bias": get("roi_heads.box_predictor.bbox_pred.bias")},
+    }
+    mask_head: Dict = {}
+    for i in range(1, 5):
+        mask_head[f"mask_fcn{i}"] = conv(
+            (f"roi_heads.mask_head.mask_fcn{i}.0",
+             f"roi_heads.mask_head.mask_fcn{i}"))
+    # ConvTranspose: torch [in, out, kh, kw] -> flax [kh, kw, in, out]
+    w = get("roi_heads.mask_predictor.conv5_mask.weight")
+    mask_head["conv5_mask"] = {
+        "kernel": np.transpose(w, (2, 3, 0, 1)),
+        "bias": get("roi_heads.mask_predictor.conv5_mask.bias"),
+    }
+    mask_head["mask_fcn_logits"] = conv(
+        ("roi_heads.mask_predictor.mask_fcn_logits",))
+    params["mask_head"] = mask_head
+    return {"params": params, "batch_stats": stats}

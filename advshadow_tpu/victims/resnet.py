@@ -79,25 +79,32 @@ class ResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, return_features: bool = False,
-                 feature_offset: jax.Array | None = None):
+                 feature_offset: jax.Array | None = None,
+                 return_pyramid: bool = False):
         """Classify; with ``return_features`` also return the final conv
         feature map (the reference's Grad-CAM target ``layer4[-1]``,
         ref: ddim2/grad-cam.py:21-22).  ``feature_offset`` is added to the
         feature map before the head — a probe input that lets Grad-CAM
         take exact gradients w.r.t. the intermediate activation
-        (:mod:`advshadow_tpu.eval.gradcam`)."""
+        (:mod:`advshadow_tpu.eval.gradcam`).  ``return_pyramid`` returns
+        the (C2, C3, C4, C5) stage outputs instead (the FPN backbone
+        interface for :mod:`advshadow_tpu.masks.maskrcnn`)."""
         h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     name="conv1")(x)
         h = nn.relu(_bn("bn1")(h))
         h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
         h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        pyramid = []
         for stage, num_blocks in enumerate(self.stage_sizes):
             channels = 64 * (2**stage)
             for i in range(num_blocks):
                 stride = 2 if stage > 0 and i == 0 else 1
                 h = self.block(channels, stride,
                                name=f"layer{stage + 1}_{i}")(h)
+            pyramid.append(h)
+        if return_pyramid:
+            return tuple(pyramid)
         if feature_offset is not None:
             h = h + feature_offset
         features = h
