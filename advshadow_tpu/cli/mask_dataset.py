@@ -17,8 +17,16 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--dataset_path", type=str, required=True)
     p.add_argument("--output_path", type=str, required=True)
     p.add_argument("--mask_rcnn_path", type=str, default=None,
-                   help="dir with frozen_inference_graph.pb; omit for the "
-                        "weights-free GrabCut fallback")
+                   help="dir with frozen_inference_graph.pb (opencv "
+                        "detector)")
+    p.add_argument("--detector", type=str, default="auto",
+                   choices=["auto", "opencv", "jax", "saliency"],
+                   help="auto = opencv when --mask_rcnn_path is given, "
+                        "else saliency; jax = the TPU-native Mask-RCNN "
+                        "(advshadow_tpu.masks.maskrcnn)")
+    p.add_argument("--jax_weights", type=str, default=None,
+                   help="pickle of ported torchvision Mask-RCNN variables "
+                        "for --detector jax")
     p.add_argument("--confidence_threshold", type=float, default=0.7)
     p.add_argument("--mask_threshold", type=float, default=0.3)
     p.add_argument("--grabcut_iter", type=int, default=10)
@@ -28,13 +36,53 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    n = extract_and_save_masks(
-        args.dataset_path, args.output_path, args.mask_rcnn_path,
-        use_gpu=args.use_gpu,
-        confidence_threshold=args.confidence_threshold,
-        mask_threshold=args.mask_threshold,
-        grabcut_iter=args.grabcut_iter,
-    )
+    if args.detector == "jax":
+        import os
+
+        import cv2
+        import numpy as np
+
+        from advshadow_tpu.masks.extract import (
+            make_jax_maskrcnn_detector,
+            process_image,
+        )
+        from advshadow_tpu.utils.runtime import runtime_init
+
+        runtime_init()
+        variables = None
+        if args.jax_weights:
+            import pickle
+
+            with open(args.jax_weights, "rb") as f:
+                variables = pickle.load(f)
+        detect_fn = make_jax_maskrcnn_detector(variables)
+        os.makedirs(args.output_path, exist_ok=True)
+        n = 0
+        for name in sorted(os.listdir(args.dataset_path)):
+            if not name.lower().endswith((".png", ".jpg", ".jpeg")):
+                continue
+            img = cv2.imread(f"{args.dataset_path}/{name}")
+            if img is None:
+                continue
+            mask = process_image(
+                img, detect_fn,
+                confidence_threshold=args.confidence_threshold,
+                mask_threshold=args.mask_threshold,
+                grabcut_iter=args.grabcut_iter)
+            if mask is None:
+                continue
+            cv2.imwrite(f"{args.output_path}/mask_{name}", mask)
+            n += 1
+    else:
+        path = (args.mask_rcnn_path
+                if args.detector in ("auto", "opencv") else None)
+        n = extract_and_save_masks(
+            args.dataset_path, args.output_path, path,
+            use_gpu=args.use_gpu,
+            confidence_threshold=args.confidence_threshold,
+            mask_threshold=args.mask_threshold,
+            grabcut_iter=args.grabcut_iter,
+        )
     logger.info(f"wrote {n} masks to {args.output_path}")
     return n
 
