@@ -92,9 +92,11 @@ class ResNet(nn.Module):
         h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
                     name="conv1")(x)
         h = nn.relu(_bn("bn1")(h))
-        h = jnp.pad(h, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=-jnp.inf)
-        h = nn.max_pool(h, (3, 3), strides=(2, 2))
+        # torch MaxPool2d(3, 2, 1): padded max_pool (pads with -inf);
+        # an explicit jnp.pad(-inf) + VALID pool crashes the TPU fusion
+        # emitter in the backward pass (negative window padding).
+        h = nn.max_pool(h, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
         pyramid = []
         for stage, num_blocks in enumerate(self.stage_sizes):
             channels = 64 * (2**stage)
