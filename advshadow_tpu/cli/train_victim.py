@@ -30,6 +30,7 @@ from advshadow_tpu.utils import append_args_log, get_logger, \
     seed_initializer, setup_logging
 from advshadow_tpu.victims import VICTIMS, imagenet_normalize, \
     make_victim_model
+from advshadow_tpu.victims.zoo import safe_argmax
 
 logger = get_logger("train_victim")
 
@@ -118,7 +119,7 @@ def train_victim(args) -> dict:
                                  imagenet_normalize(x))
             one_hot = jax.nn.one_hot(y, num_classes)
             loss = optax.softmax_cross_entropy(logits, one_hot).mean()
-            acc = (jnp.argmax(logits, -1) == y).mean()
+            acc = (safe_argmax(logits) == y).mean()
             return loss, acc
 
         (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -129,7 +130,7 @@ def train_victim(args) -> dict:
     def eval_fn(params, x, y):
         logits = model.apply({"params": params, **frozen},
                              imagenet_normalize(x))
-        return (jnp.argmax(logits, -1) == y).mean()
+        return (safe_argmax(logits) == y).mean()
 
     params = replicate(params, mesh)
     opt_state = replicate(opt_state, mesh)

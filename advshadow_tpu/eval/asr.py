@@ -19,6 +19,7 @@ import numpy as np
 from PIL import Image
 
 from advshadow_tpu.victims.labels import true_label_from_filename
+from advshadow_tpu.victims.zoo import safe_argmax
 
 __all__ = ["compute_asr", "compute_asr_folder", "load_folder_images"]
 
@@ -37,7 +38,7 @@ def compute_asr(
     preds = []
     for i in range(0, images.shape[0], batch_size):
         logits = victim_fn(images[i: i + batch_size])
-        preds.append(jnp.argmax(logits, axis=-1))
+        preds.append(safe_argmax(logits))
     preds = jnp.concatenate(preds)
     success = preds != true_labels
     asr = float(jnp.mean(success.astype(jnp.float32)))

@@ -27,7 +27,8 @@ from advshadow_tpu.victims import vgg as _vgg
 from advshadow_tpu.victims import vit as _vit
 
 __all__ = ["VICTIMS", "make_victim_model", "make_victim_fn",
-           "imagenet_normalize", "IMAGENET_MEAN", "IMAGENET_STD"]
+           "imagenet_normalize", "safe_argmax", "IMAGENET_MEAN",
+           "IMAGENET_STD"]
 
 IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
@@ -51,6 +52,14 @@ VICTIMS = {
     "swin_base": _swin.swin_base,
     "inception_v3": _inception.inception_v3,
 }
+
+
+def safe_argmax(logits: jax.Array, axis: int = -1) -> jax.Array:
+    """argmax with an optimization barrier: fusing an argmax reduce into a
+    conv stack crashes this host's chipless TPU AOT compiler
+    (fusion_emitter window.pad_low check); the barrier keeps the argmax in
+    its own fusion at zero cost."""
+    return jnp.argmax(jax.lax.optimization_barrier(logits), axis=axis)
 
 
 def imagenet_normalize(x: jax.Array) -> jax.Array:
