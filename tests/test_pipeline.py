@@ -512,3 +512,20 @@ class TestVictimTraining:
         with open(out["ckpt"], "rb") as f:
             variables = pickle.load(f)
         assert "params" in variables and "batch_stats" in variables
+
+
+class TestBenchmarkSuite:
+    def test_suite_smoke_configs(self, monkeypatch):
+        """The BASELINE.md benchmark suite must not rot: run the two
+        host-cheap configs in BENCH_SMALL mode."""
+        monkeypatch.setenv("BENCH_SMALL", "1")
+        import runpy
+
+        mod = runpy.run_path("benchmarks/suite.py")
+        out = mod["main"](["mask-pipeline", "sweep"])
+        assert out["mask-pipeline"]["unit"] == "imgs/sec"
+        assert out["mask-pipeline"]["value"] > 0
+        rows = out["sweep"]["rows"]
+        assert set(rows) == {"eval", "diff2", "train"}
+        for r in rows.values():
+            assert 0 <= r["asr"] <= 1 and 0 < r["ssim"] <= 1
