@@ -1,0 +1,220 @@
+"""One-pass fused GroupNorm(+SiLU) Pallas kernel.
+
+Profiling the DDIM sampler on hardware (PARITY.md roadmap) shows
+GroupNorm statistics (`convert_reduce_fusion`) costing ~20% of XLA-op
+time: XLA reads each activation from HBM twice per GN layer — once for
+the f32 statistics reduce, once for the normalize fusion.  This kernel
+does both in VMEM in a single pass (one HBM read + one write per
+activation), with the group reduction expressed as a one-hot matmul so
+it runs on the MXU instead of lane-hostile segment reductions (the
+channel groups are only C/32 lanes wide).
+
+Forward is Pallas (TPU) or plain XLA (everywhere else) via
+``lax.platform_dependent``; backward recomputes in XLA under
+``jax.custom_vjp`` (rematerialization, same policy as
+:mod:`advshadow_tpu.ops.attention`), so the op trains.
+
+MEASURED (v5e, bf16 [512,64,64,64]): this whole-sample formulation runs
+72 ms vs XLA's 3.6 ms — XLA's two-pass GN is already near HBM bandwidth
+at these shapes, and a (B,)-grid single-block kernel pipelines poorly.
+``use_pallas=None`` therefore auto-selects the XLA path; the kernel is
+kept as the starting point for the round-2 producer-fused design (stats
+accumulated in the upstream conv's epilogue), which is where the real
+win is.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAS_PALLAS = False
+
+__all__ = ["fused_group_norm_silu", "group_norm_silu_reference"]
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+
+
+def group_norm_silu_reference(
+    x: jax.Array, scale: jax.Array, bias: jax.Array,
+    num_groups: int, eps: float, apply_silu: bool,
+) -> jax.Array:
+    """Plain XLA GroupNorm(+SiLU), flax/torch semantics (f32 stats)."""
+    B, H, W, C = x.shape
+    xf = x.astype(jnp.float32).reshape(B, H * W, num_groups, C // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = jnp.square(xf).mean(axis=(1, 3), keepdims=True) - jnp.square(mean)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    y = y.reshape(B, H, W, C) * scale.astype(jnp.float32) + bias.astype(
+        jnp.float32)
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
+def _gn_kernel(x_ref, scale_ref, bias_ref, o_ref, *,
+               num_groups: int, eps: float, apply_silu: bool,
+               c_actual: int, hw_actual: int):
+    """One sample per program: stats + normalize in one VMEM residency.
+
+    x [1, HW_pad, C_pad]; group sums via one-hot [C_pad, G] matmuls.
+    Padding rows/cols are zero, so sums are exact; the count uses the
+    true hw_actual * (c_actual/num_groups).
+    """
+    x = x_ref[0].astype(jnp.float32)  # [HW_pad, C_pad]
+    c_pad = x.shape[1]
+    # one-hot group assignment [C_pad, G] (f32; padded channels -> group 0
+    # with weight 0 via explicit zeroing)
+    ch = jax.lax.broadcasted_iota(jnp.int32, (c_pad, num_groups), 0)
+    gr = jax.lax.broadcasted_iota(jnp.int32, (c_pad, num_groups), 1)
+    group_size = c_actual // num_groups
+    onehot = ((ch // group_size) == gr) & (ch < c_actual)
+    onehot = onehot.astype(jnp.float32)
+
+    col_sum = jnp.sum(x, axis=0, keepdims=True)            # [1, C_pad]
+    col_sumsq = jnp.sum(x * x, axis=0, keepdims=True)      # [1, C_pad]
+    g_sum = jnp.dot(col_sum, onehot,
+                    preferred_element_type=jnp.float32)     # [1, G]
+    g_sumsq = jnp.dot(col_sumsq, onehot,
+                      preferred_element_type=jnp.float32)   # [1, G]
+    count = float(hw_actual * group_size)
+    mean_g = g_sum / count
+    var_g = g_sumsq / count - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    # broadcast per-group stats back to channels: [1, G] @ [G, C_pad]
+    mean_c = jnp.dot(mean_g, onehot.T,
+                     preferred_element_type=jnp.float32)    # [1, C_pad]
+    inv_c = jnp.dot(inv_g, onehot.T,
+                    preferred_element_type=jnp.float32)
+    y = (x - mean_c) * inv_c
+    y = y * scale_ref[0].astype(jnp.float32) + bias_ref[0].astype(jnp.float32)
+    if apply_silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def _pad_axis(a: jax.Array, axis: int, multiple: int) -> jax.Array:
+    pad = (-a.shape[axis]) % multiple
+    if pad == 0:
+        return a
+    widths = [(0, 0)] * a.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(a, widths)
+
+
+def _gn_pallas(x, scale, bias, num_groups, eps, apply_silu):
+    B, H, W, C = x.shape
+    hw = H * W
+    x2 = x.reshape(B, hw, C)
+    x2 = _pad_axis(_pad_axis(x2, 1, 8), 2, 128)
+    hw_p, c_p = x2.shape[1], x2.shape[2]
+    scale_p = _pad_axis(scale[None], 1, 128)
+    bias_p = _pad_axis(bias[None], 1, 128)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_kernel, num_groups=num_groups, eps=eps,
+            apply_silu=apply_silu, c_actual=C, hw_actual=hw),
+        out_shape=jax.ShapeDtypeStruct((B, hw_p, c_p), x.dtype),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, hw_p, c_p), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_p), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_p), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hw_p, c_p), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * hw_p * c_p,
+            bytes_accessed=2 * B * hw_p * c_p * x.dtype.itemsize,
+            transcendentals=B * hw_p * c_p,
+        ),
+    )(x2, scale_p, bias_p)
+    return out[:, :hw, :C].reshape(B, H, W, C)
+
+
+def _feasible(x: jax.Array) -> bool:
+    """Shape feasibility for the Pallas path (VMEM fit). NOTE: auto mode
+    currently never selects Pallas — measured slower than XLA (see module
+    docstring); pass use_pallas=True to experiment."""
+    del x
+    return False
+
+
+def _fits_vmem(x: jax.Array) -> bool:
+    if not _HAS_PALLAS:
+        return False
+    B, H, W, C = x.shape
+    hw_p = -(-H * W // 8) * 8
+    c_p = -(-C // 128) * 128
+    return hw_p * c_p * (x.dtype.itemsize + 4) < _VMEM_BUDGET
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _gn(x, scale, bias, num_groups, eps, apply_silu, use_pallas):
+    if use_pallas:
+        return jax.lax.platform_dependent(
+            x, scale, bias,
+            tpu=functools.partial(_gn_pallas, num_groups=num_groups, eps=eps,
+                                  apply_silu=apply_silu),
+            default=functools.partial(group_norm_silu_reference,
+                                      num_groups=num_groups, eps=eps,
+                                      apply_silu=apply_silu),
+        )
+    return group_norm_silu_reference(x, scale, bias, num_groups, eps,
+                                     apply_silu)
+
+
+def _gn_fwd(x, scale, bias, num_groups, eps, apply_silu, use_pallas):
+    return _gn(x, scale, bias, num_groups, eps, apply_silu, use_pallas), \
+        (x, scale, bias)
+
+
+def _gn_bwd(num_groups, eps, apply_silu, use_pallas, res, g):
+    x, scale, bias = res
+
+    def f(x_, s_, b_):
+        return group_norm_silu_reference(x_, s_, b_, num_groups, eps,
+                                         apply_silu)
+
+    _, vjp = jax.vjp(f, x, scale, bias)
+    return vjp(g)
+
+
+_gn.defvjp(_gn_fwd, _gn_bwd)
+
+
+def fused_group_norm_silu(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    apply_silu: bool = True,
+    use_pallas: Optional[bool] = None,
+) -> jax.Array:
+    """GroupNorm (+ optional SiLU) in one HBM pass on TPU.
+
+    Args:
+      x: [B, H, W, C] activations (C divisible by num_groups).
+      scale, bias: [C] affine parameters.
+      use_pallas: force / auto-select (None) the fused kernel; auto falls
+        back to XLA whenever a sample doesn't fit VMEM.
+    """
+    if use_pallas is None:
+        use_pallas = _feasible(x)
+    return _gn(x, scale, bias, num_groups, eps, apply_silu,
+               bool(use_pallas))

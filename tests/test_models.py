@@ -153,3 +153,52 @@ class TestPallasKernelInterpret:
         ref = attention_reference(q, k, v, scale)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
+
+
+class TestFusedGroupNorm:
+    def test_matches_flax_groupnorm_silu(self):
+        from flax import linen as nn
+
+        from advshadow_tpu.ops.groupnorm import group_norm_silu_reference
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
+        scale = jax.random.normal(jax.random.PRNGKey(1), (64,)) * 0.1 + 1
+        bias = jax.random.normal(jax.random.PRNGKey(2), (64,)) * 0.1
+        ref = group_norm_silu_reference(x, scale, bias, 32, 1e-5, True)
+
+        class M(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                return nn.silu(nn.GroupNorm(num_groups=32, epsilon=1e-5)(x))
+
+        out = M().apply(
+            {"params": {"GroupNorm_0": {"scale": scale, "bias": bias}}}, x)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(out),
+                                   atol=2e-6)
+
+    def test_pallas_kernel_interpret_parity(self):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from advshadow_tpu.ops.groupnorm import (
+            _gn_pallas,
+            group_norm_silu_reference,
+        )
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (2, 6, 7, 64))
+        scale = jnp.ones((64,))
+        bias = jnp.full((64,), 0.1)
+        ref = group_norm_silu_reference(x, scale, bias, 32, 1e-5, True)
+        with pltpu.force_tpu_interpret_mode():
+            out = _gn_pallas(x, scale, bias, 32, 1e-5, True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=5e-6)
+
+    def test_gradients(self):
+        from advshadow_tpu.ops.groupnorm import fused_group_norm_silu
+
+        x = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 4, 32))
+        scale = jnp.ones((32,))
+        bias = jnp.zeros((32,))
+        g = jax.grad(lambda x, s, b: fused_group_norm_silu(
+            x, s, b, num_groups=8).sum(), argnums=(0, 1, 2))(x, scale, bias)
+        assert all(np.all(np.isfinite(gi)) for gi in g)
