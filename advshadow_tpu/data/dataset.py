@@ -282,16 +282,20 @@ class BatchLoader:
         stop = object()
 
         def worker():
-            for b in batches:
-                items = [self.dataset[int(i)] for i in b]
-                cols = list(zip(*items))
-                out = tuple(
-                    np.stack(c) if isinstance(c[0], np.ndarray)
-                    else (np.asarray(c) if not isinstance(c[0], str) else list(c))
-                    for c in cols
-                )
-                q.put(out)
-            q.put(stop)
+            try:
+                for b in batches:
+                    items = [self.dataset[int(i)] for i in b]
+                    cols = list(zip(*items))
+                    out = tuple(
+                        np.stack(c) if isinstance(c[0], np.ndarray)
+                        else (np.asarray(c) if not isinstance(c[0], str)
+                              else list(c))
+                        for c in cols
+                    )
+                    q.put(out)
+                q.put(stop)
+            except BaseException as e:  # propagate instead of hanging
+                q.put(e)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -299,4 +303,6 @@ class BatchLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item

@@ -135,3 +135,19 @@ class TestTrainValSplit:
         assert set(tr.paths).isdisjoint(va.paths)
         tr2 = ImageFolderDataset(image_folder, 16, seed=5, split="train")
         assert tr.paths == tr2.paths
+
+
+class TestLoaderErrorPropagation:
+    def test_worker_exception_raises_not_hangs(self):
+        class Broken:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                if i == 2:
+                    raise OSError("corrupt image")
+                return np.zeros((4, 4, 3), np.float32), 0
+
+        loader = BatchLoader(Broken(), batch_size=2, shuffle=False)
+        with pytest.raises(OSError, match="corrupt image"):
+            list(loader)
