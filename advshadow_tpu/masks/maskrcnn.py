@@ -201,29 +201,44 @@ class MaskRCNN(nn.Module):
                                   cfg.rpn_nms_threshold)
         proposals = boxes[keep_ix]  # [P, 4]; invalid slots degenerate to box 0
 
-        # --- box head ---
+        # --- box head: class-aware postprocess (torchvision semantics:
+        # every foreground class of every proposal is a detection
+        # candidate; per-class NMS via the class-offset trick; all with
+        # fixed shapes) ---
         pooled = _multilevel_roi_align(feats, proposals, 7)
         cls_scores, box_deltas = _BoxHead(cfg.num_classes,
                                           name="box_head")(pooled)
         probs = jax.nn.softmax(cls_scores, axis=-1)
-        # best non-background class per proposal (class 0 = background)
-        fg_probs = probs[:, 1:]
-        best_cls = jnp.argmax(fg_probs, axis=-1) + 1
-        best_score = jnp.max(fg_probs, axis=-1)
-        box_deltas = box_deltas.reshape(-1, cfg.num_classes, 4)
-        best_deltas = jnp.take_along_axis(
-            box_deltas, best_cls[:, None, None].repeat(4, -1), axis=1)[:, 0]
-        det_boxes = decode_boxes(proposals, best_deltas, clip_hw=(H, W),
-                                 weights=cfg.box_reg_weights)
-        det_scores = jnp.where(
-            keep_valid & (best_score > cfg.box_score_threshold),
-            best_score, 0.0)
+        P, K = probs.shape
+        fg = K - 1  # class 0 = background
+        box_deltas = box_deltas.reshape(P, K, 4)[:, 1:]          # [P, fg, 4]
 
-        det_ix, det_valid = nms(det_boxes, det_scores, cfg.max_detections,
+        def decode_class(deltas_k):
+            return decode_boxes(proposals, deltas_k, clip_hw=(H, W),
+                                weights=cfg.box_reg_weights)
+
+        boxes_all = jax.vmap(decode_class, in_axes=1, out_axes=1)(
+            box_deltas)                                           # [P, fg, 4]
+        scores_all = jnp.where(
+            keep_valid[:, None] & (probs[:, 1:] > cfg.box_score_threshold),
+            probs[:, 1:], 0.0)                                    # [P, fg]
+        cls_all = jnp.broadcast_to(
+            jnp.arange(1, K, dtype=jnp.int32)[None], (P, fg))
+
+        flat_scores = scores_all.reshape(-1)
+        cand = min(4 * cfg.max_detections, flat_scores.shape[0])
+        top_scores, top_ix = jax.lax.top_k(flat_scores, cand)
+        cand_boxes = boxes_all.reshape(-1, 4)[top_ix]
+        cand_cls = cls_all.reshape(-1)[top_ix]
+        # per-class NMS: shift each class into its own coordinate region
+        offset = float(max(H, W) + 2)
+        shifted = cand_boxes + (cand_cls[:, None].astype(jnp.float32)
+                                * offset)
+        det_ix, det_valid = nms(shifted, top_scores, cfg.max_detections,
                                 cfg.box_nms_threshold)
-        final_boxes = det_boxes[det_ix]
-        final_scores = det_scores[det_ix]
-        final_cls = best_cls[det_ix]
+        final_boxes = cand_boxes[det_ix]
+        final_scores = top_scores[det_ix]
+        final_cls = cand_cls[det_ix]
         final_valid = det_valid & (final_scores > 0)
 
         # --- mask head on the final boxes ---

@@ -155,3 +155,22 @@ class TestJaxDetectorInPipeline:
         # pipeline must run without shape errors
         assert mask is None or (mask.dtype == np.uint8
                                 and set(np.unique(mask)) <= {0, 255})
+
+
+class TestClassAwareNMS:
+    def test_overlapping_boxes_of_different_classes_both_survive(self):
+        """Per-class NMS (coordinate-offset trick): identical boxes with
+        different classes must not suppress each other."""
+        import jax.numpy as jnp
+
+        from advshadow_tpu.masks.detector import nms
+
+        boxes = jnp.asarray([[0, 0, 10, 10.0], [0, 0, 10, 10.0]])
+        scores = jnp.asarray([0.9, 0.8])
+        cls = jnp.asarray([1, 2], jnp.int32)
+        shifted = boxes + cls[:, None].astype(jnp.float32) * 100.0
+        idx, valid = nms(shifted, scores, 2, 0.5)
+        assert bool(valid.all())  # both kept
+        # same class: second suppressed
+        idx2, valid2 = nms(boxes, scores, 2, 0.5)
+        assert bool(valid2[0]) and not bool(valid2[1])
