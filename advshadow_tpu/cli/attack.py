@@ -95,7 +95,9 @@ def run_attack(args) -> dict:
     dataset = ShadowPairDataset(
         args.dataset_path, args.mask_dir or args.dataset_path,
         args.image_size, labels_json=args.labels_json,
-        class_names=OXFORD_PET_CLASSES if args.labels_json else None,
+        class_names=(OXFORD_PET_CLASSES
+                     if args.labels_json and args.num_classes == 37
+                     else None),
         seed=args.seed,
     ) if args.method == "shadow" else None
 

@@ -89,7 +89,9 @@ def train_shadow(args) -> dict:
     dataset = ShadowPairDataset(
         args.dataset_path, args.mask_dir, args.image_size,
         labels_json=args.labels_json,
-        class_names=OXFORD_PET_CLASSES if args.labels_json else None,
+        class_names=(OXFORD_PET_CLASSES
+                     if args.labels_json and args.num_classes == 37
+                     else None),
         seed=args.seed,
     )
     loader = BatchLoader(dataset, args.batch_size, seed=args.seed,

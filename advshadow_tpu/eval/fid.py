@@ -43,7 +43,10 @@ def frechet_distance(
     """||mu1-mu2||^2 + tr(s1 + s2 - 2 sqrtm(s1 s2)) (ref: fid_fast.py:30-45)."""
     ssdiff = jnp.sum(jnp.square(mu1 - mu2))
     covmean_tr = trace_sqrtm_product(sigma1, sigma2, num_iters=sqrtm_iters)
-    return ssdiff + jnp.trace(sigma1) + jnp.trace(sigma2) - 2.0 * covmean_tr
+    fd = ssdiff + jnp.trace(sigma1) + jnp.trace(sigma2) - 2.0 * covmean_tr
+    # clamp: the stabilizing ridge can push near-identical sets slightly
+    # negative (true Frechet distance is non-negative)
+    return jnp.maximum(fd, 0.0)
 
 
 @jax.jit

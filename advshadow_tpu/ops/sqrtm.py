@@ -39,10 +39,29 @@ def trace_sqrtm_product(sigma1: jax.Array, sigma2: jax.Array,
                         num_iters: int = 30, eps: float = 1e-6) -> jax.Array:
     """tr(sqrtm(sigma1 @ sigma2)), the cross term of the Frechet distance.
 
-    A small ridge keeps the product away from singularity, mirroring the
-    reference's complex-part discard (ref: fid_fast.py:39-41).
+    A ridge keeps the product away from singularity, mirroring the
+    reference's complex-part discard (ref: fid_fast.py:39-41).  The ridge
+    is SCALE-AWARE (proportional to the mean diagonal): with fewer
+    samples than feature dims the covariances are rank-deficient and a
+    fixed 1e-6 ridge leaves Newton-Schulz unstable (NaN); the trace of
+    the added component is subtracted back so the bias stays tiny.
     """
     n = sigma1.shape[-1]
-    ridge = eps * jnp.eye(n, dtype=sigma1.dtype)
-    prod = (sigma1 + ridge) @ (sigma2 + ridge)
-    return jnp.trace(sqrtm_newton_schulz(prod, num_iters))
+    scale = (jnp.trace(sigma1) + jnp.trace(sigma2)) / (2 * n)
+    lam = eps + 1e-4 * scale  # NS needs a non-degenerate spectrum in f32
+    ridge = lam * jnp.eye(n, dtype=sigma1.dtype)
+    # symmetric formulation: tr sqrtm(s1 s2) == tr sqrtm(r s2 r) with
+    # r = sqrtm(s1); both Newton-Schulz runs act on SYMMETRIC PSD inputs
+    # (NS on the nonsymmetric raw product diverges for rank-deficient
+    # covariances, e.g. fewer samples than feature dims).
+    s1 = sigma1 + ridge
+    s2 = sigma2 + ridge
+    r = sqrtm_newton_schulz(s1, num_iters)
+    r = 0.5 * (r + r.T)
+    inner = r @ s2 @ r
+    inner = 0.5 * (inner + inner.T)
+    # f32 rounding can push tiny eigenvalues of the PSD product slightly
+    # negative, which diverges NS — ridge the inner matrix as well
+    lam2 = eps + 1e-5 * jnp.trace(inner) / n
+    inner = inner + lam2 * jnp.eye(n, dtype=inner.dtype)
+    return jnp.trace(sqrtm_newton_schulz(inner, num_iters))

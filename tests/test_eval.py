@@ -152,3 +152,17 @@ class TestGradCAM:
         h, w = feats.shape[1], feats.shape[2]
         expected = fc_w[:, int(target[0])] / (h * w)
         np.testing.assert_allclose(got, expected, atol=1e-6)
+
+
+class TestFIDSmallSample:
+    def test_rank_deficient_covariances_finite(self):
+        """Fewer samples than feature dims (rank-deficient covariances)
+        must give a finite, non-negative FID — the naive Newton-Schulz on
+        the nonsymmetric product NaN'd here (found running the example
+        pipeline on a 16-image folder with 512-d features)."""
+        f1 = jax.random.normal(jax.random.PRNGKey(0), (16, 512))
+        f2 = jax.random.normal(jax.random.PRNGKey(1), (16, 512)) + 0.5
+        out = float(fid_from_features(f1, f2))
+        assert np.isfinite(out) and out > 0
+        same = float(fid_from_features(f1, f1))
+        assert same == 0.0
