@@ -94,9 +94,11 @@ def run_fid(args) -> dict:
                                      args.victim_ckpt, args.image_size)
 
     def feature_fn(x):
-        # penultimate (pre-fc GAP) features as the embedding
-        _, feats = model.apply(variables, x, return_features=True)
-        return feats.mean(axis=(1, 2))
+        # penultimate (pre-fc) features as the embedding
+        out = model.apply(variables, x, return_features=True)
+        if isinstance(out, tuple):            # ResNet: (logits, [N,h,w,c])
+            return out[1].mean(axis=(1, 2))
+        return out                            # InceptionV3: [N, 2048] pooled
 
     a, _, _ = load_folder_images(args.folder1, args.image_size)
     b, _, _ = load_folder_images(args.folder2, args.image_size)

@@ -529,3 +529,17 @@ class TestBenchmarkSuite:
         assert set(rows) == {"eval", "diff2", "train"}
         for r in rows.values():
             assert 0 <= r["asr"] <= 1 and 0 < r["ssim"] <= 1
+
+
+class TestFIDInceptionPath:
+    def test_fid_cli_with_inception_features(self, shadow_dataset, tmp_path):
+        """The reference's FID protocol uses InceptionV3 pool features
+        (ref fid_fast.py:11-13); the CLI must drive that extractor."""
+        from advshadow_tpu.cli.evaluate import main as eval_main
+
+        img_dir, _, _ = shadow_dataset
+        out = eval_main([
+            "fid", "--folder1", img_dir, "--folder2", img_dir,
+            "--feature_victim", "inception_v3", "--image_size", "128",
+        ])
+        assert np.isfinite(out["fid"]) and out["fid"] >= 0
