@@ -79,6 +79,9 @@ def _save_batch(images01: np.ndarray, names, output_path: str):
 
 
 def run_attack(args) -> dict:
+    if args.method == "shadow" and not args.mask_dir:
+        raise SystemExit("--mask_dir is required for --method shadow "
+                         "(object masks drive the shadow composite)")
     rng = seed_initializer(args.seed)
     victim = make_victim_model(args.victim, num_classes=args.num_classes)
     if args.victim_ckpt:
@@ -93,7 +96,7 @@ def run_attack(args) -> dict:
     victim_fn = make_victim_fn(victim, variables)
 
     dataset = ShadowPairDataset(
-        args.dataset_path, args.mask_dir or args.dataset_path,
+        args.dataset_path, args.mask_dir,
         args.image_size, labels_json=args.labels_json,
         class_names=(OXFORD_PET_CLASSES
                      if args.labels_json and args.num_classes == 37

@@ -221,7 +221,8 @@ def train(args) -> dict:
         if args.vis and jax.process_index() == 0:
             n = num_classes if args.num_vis <= 0 else args.num_vis
             n = min(n, 16)
-            labels = jnp.arange(n, dtype=jnp.int32) if args.conditional else None
+            labels = (jnp.arange(n, dtype=jnp.int32) % num_classes
+                      if args.conditional else None)
             # the reference saves grids from BOTH the raw and the EMA model
             # per epoch (ref: tools/train.py:240-258)
             for tag, p_ in (("", state.params), ("_ema", state.ema_params)):
