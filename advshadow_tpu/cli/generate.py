@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--class_name", type=int, default=-1,
                    help="-1 = one image per class (ref tools/generate.py:71-74)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--sample_steps", type=int, default=None,
+                   help="DDIM/PLMS stride steps (default: the reference's "
+                        "500-of-1000, ref model/samples/ddim.py:25)")
     return p
 
 
@@ -82,6 +85,8 @@ def generate(args) -> np.ndarray:
     denoise = make_denoise_fn(model.apply, params, labels, cfg_scale)
     sampler = make_sampler(sample)
     kwargs = {}
+    if args.sample_steps and sample in ("ddim", "plms"):
+        kwargs["sample_steps"] = args.sample_steps
     if sample == "plms" and conditional:
         # the reference's PLMS bootstrap forward skips CFG
         # (ref: model/samples/plms.py:104-108)

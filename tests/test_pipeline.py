@@ -543,3 +543,21 @@ class TestFIDInceptionPath:
             "--feature_victim", "inception_v3", "--image_size", "128",
         ])
         assert np.isfinite(out["fid"]) and out["fid"] >= 0
+
+
+class TestPLMSGeneration:
+    def test_generate_plms_from_ckpt(self, dataset, tmp_path):
+        from advshadow_tpu.cli.generate import main as generate_main
+        from advshadow_tpu.cli.train import main as train_main
+
+        out = train_main([
+            "--dataset_path", dataset, "--result_path", str(tmp_path / "r"),
+            "--run_name", "p", "--sample", "plms", "--vis", "",
+            "--epochs", "1", *TINY[:-2],
+        ])
+        imgs = generate_main([
+            "--weight_path", os.path.join(out["results_dir"], "ckpt_last"),
+            "--result_path", str(tmp_path / "g"), "--class_name", "0",
+            "--num_images", "2", "--sample_steps", "20",
+        ])
+        assert imgs.shape == (2, 16, 16, 3)
