@@ -166,3 +166,15 @@ class TestFIDSmallSample:
         assert np.isfinite(out) and out > 0
         same = float(fid_from_features(f1, f1))
         assert same == 0.0
+
+
+class TestHeatmapToy:
+    def test_shift_and_blend(self):
+        from advshadow_tpu.eval.gradcam import shift_and_blend_heatmap
+
+        img = jnp.zeros((8, 8, 3))
+        cam = jnp.zeros((8, 8)).at[0, 0].set(1.0)
+        out = shift_and_blend_heatmap(img, cam, dx=2, dy=3)
+        assert out.shape == (8, 8, 3)
+        # the hot spot moved to (3, 2) and reads red-ish in jet
+        assert float(out[3, 2, 0]) > float(out[0, 0, 0])

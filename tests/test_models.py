@@ -202,3 +202,13 @@ class TestFusedGroupNorm:
         g = jax.grad(lambda x, s, b: fused_group_norm_silu(
             x, s, b, num_groups=8).sum(), argnums=(0, 1, 2))(x, scale, bias)
         assert all(np.all(np.isfinite(gi)) for gi in g)
+
+
+class TestAuxBlocks:
+    def test_sppf_bottleneck(self):
+        from advshadow_tpu.models.blocks import SPPFBottleneck
+
+        m = SPPFBottleneck(16)
+        x = jnp.zeros((1, 8, 8, 8))
+        p = jax.jit(m.init)(jax.random.PRNGKey(0), x)
+        assert jax.jit(m.apply)(p, x).shape == (1, 8, 8, 16)

@@ -227,3 +227,24 @@ class TestAsyncCheckpoint:
                                    np.arange(6.0).reshape(2, 3))
         assert tree["metadata"]["start_epoch"] == 3
         assert os.path.isdir(tmp_path / "ckpt_3")
+
+
+class TestMiscUtils:
+    def test_separate_ckpt_weights(self):
+        from advshadow_tpu.train import separate_ckpt_weights
+
+        tree = {"model": 1, "ema_model": 2, "optimizer": 3, "metadata": {}}
+        out = separate_ckpt_weights(tree, separate_model=True,
+                                    separate_ema_model=False,
+                                    separate_optimizer=True)
+        assert out["model"] is None and out["optimizer"] is None
+        assert out["ema_model"] == 2
+
+    def test_custom_logger_webui_accumulation(self, tmp_path):
+        from advshadow_tpu.utils.logger import CustomLogger
+
+        log = CustomLogger("t1", log_file=str(tmp_path / "x.log"),
+                           is_webui=True)
+        log.info("hello webui")
+        assert any("hello webui" in line for line in log.webui_text)
+        assert "hello webui" in (tmp_path / "x.log").read_text()
