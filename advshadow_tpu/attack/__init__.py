@@ -5,6 +5,7 @@ from advshadow_tpu.attack.optimize import (
     ShadowOptConfig,
     ShadowOptResult,
     batched_optimize_shadow,
+    clamp_shadow_params,
     optimize_shadow_position,
 )
 from advshadow_tpu.attack.perturb import (
@@ -30,6 +31,7 @@ __all__ = [
     "ShadowOptConfig",
     "ShadowOptResult",
     "batched_optimize_shadow",
+    "clamp_shadow_params",
     "optimize_shadow_position",
     "bim_attack",
     "cross_entropy",

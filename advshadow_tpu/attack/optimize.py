@@ -40,6 +40,7 @@ __all__ = [
     "EVAL_CONFIG",
     "DIFF2_CONFIG",
     "TRAIN_CONFIG",
+    "clamp_shadow_params",
     "optimize_shadow_position",
     "batched_optimize_shadow",
 ]
@@ -96,6 +97,25 @@ class ShadowOptResult(NamedTuple):
     radius: jax.Array          # scalar
     image: jax.Array           # final shadowed+perturbed image, [0,1] HWC
     perturbation: jax.Array    # cumulative perturbation (visualization)
+
+
+def clamp_shadow_params(params: dict, H: int, W: int) -> dict:
+    """Clamp shadow geometry to image bounds (ref: ddim2/test.py:612-615).
+
+    The reference clamps BOTH center coords to ``size(2)`` (=W) — fine on
+    its square images, wrong on non-square ones; here the clamp is
+    per-dimension, x∈[0,W] × y∈[0,H] (identical for square inputs).
+    Radius clamps to min(H, W)/2 exactly like the reference.
+    """
+    params = dict(params)
+    params["radius"] = jnp.clip(params["radius"], 0.0, min(H, W) / 2.0)
+    if "center" in params:
+        params["center"] = jnp.clip(
+            params["center"],
+            jnp.zeros((2,), jnp.float32),
+            jnp.asarray([float(W), float(H)], jnp.float32),
+        )
+    return params
 
 
 def _make_optimizer(config: ShadowOptConfig) -> optax.GradientTransformation:
@@ -192,11 +212,7 @@ def optimize_shadow_position(
             lambda new, old: jnp.where(has_grad, new, old), new_opt_state,
             opt_state,
         )
-        # clamp to image bounds (ref: ddim2/test.py:612-615)
-        params = dict(params)
-        params["radius"] = jnp.clip(params["radius"], 0.0, min(H, W) / 2.0)
-        if "center" in params:
-            params["center"] = jnp.clip(params["center"], 0.0, float(W))
+        params = clamp_shadow_params(params, H, W)
         next_base = result.image if config.compound else image
         return (params, opt_state, next_base, result), result.perturbation
 

@@ -6,6 +6,8 @@ from advshadow_tpu.parallel.mesh import (
     replicate,
     replicated_sharding,
     shard_batch,
+    shard_train_state,
+    tp_shardings,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "replicate",
     "replicated_sharding",
     "shard_batch",
+    "shard_train_state",
+    "tp_shardings",
 ]

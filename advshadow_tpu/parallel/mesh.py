@@ -32,6 +32,8 @@ __all__ = [
     "shard_batch",
     "replicate",
     "host_batch_slice",
+    "tp_shardings",
+    "shard_train_state",
 ]
 
 
@@ -85,6 +87,67 @@ def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def tp_shardings(params, mesh: Mesh, min_channels: int = 256):
+    """Pytree of NamedShardings implementing the tensor-parallel rule.
+
+    Conv/dense kernels whose out-channel count is ≥ ``min_channels`` and
+    divisible by the mesh 'model' axis are sharded over 'model' on the
+    output-channel dim; per-channel vectors (bias/scale) of the same
+    width shard with them; everything else replicates.  This is the real
+    TP hook SURVEY §2.8 reserves — the UNets fit one chip at the paper's
+    resolutions, so only the widest layers are worth splitting, and the
+    rule is a no-op when ``model == 1``.
+    """
+    msize = dict(mesh.shape).get("model", 1)
+    rep = NamedSharding(mesh, P())
+
+    def rule(path, leaf):
+        shape = getattr(leaf, "shape", ())
+        if msize <= 1 or len(shape) == 0:
+            return rep
+        out_ch = shape[-1]
+        if out_ch < min_channels or out_ch % msize != 0:
+            return rep
+        key = path[-1]
+        name = getattr(key, "key", None) or getattr(key, "name", str(key))
+        if name == "kernel" and len(shape) in (2, 4):
+            return NamedSharding(mesh, P(*([None] * (len(shape) - 1)), "model"))
+        if name in ("bias", "scale") and len(shape) == 1:
+            return NamedSharding(mesh, P("model"))
+        return rep
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def shard_train_state(state, mesh: Mesh, min_channels: int = 256):
+    """Place a TrainState on the mesh: params/EMA per :func:`tp_shardings`,
+    optimizer moment trees (structure-identical to params) likewise,
+    scalars and schedule counts replicated."""
+    shardings = tp_shardings(state.params, mesh, min_channels)
+    pstruct = jax.tree_util.tree_structure(state.params)
+    rep = replicated_sharding(mesh)
+
+    def is_param_tree(sub):
+        try:
+            return jax.tree_util.tree_structure(sub) == pstruct
+        except Exception:  # pragma: no cover - defensive
+            return False
+
+    def place(sub):
+        if is_param_tree(sub):
+            return jax.device_put(sub, shardings)
+        return jax.device_put(sub, rep)
+
+    opt_state = jax.tree_util.tree_map(place, state.opt_state,
+                                       is_leaf=is_param_tree)
+    return state.replace(
+        step=jax.device_put(state.step, rep),
+        params=jax.device_put(state.params, shardings),
+        ema_params=jax.device_put(state.ema_params, shardings),
+        opt_state=opt_state,
+    )
 
 
 def host_batch_slice(global_batch: int) -> slice:

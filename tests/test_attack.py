@@ -220,6 +220,26 @@ class TestShadowOptimization:
             self.victim, self.image, self.mask, jnp.int32(0), self.rng, cfg)
         assert res.center.shape == (2,)
 
+    def test_clamp_is_per_dimension_on_nonsquare(self):
+        """Regression: center must clamp x∈[0,W] × y∈[0,H], not both
+        coords to W (the reference's square-image shortcut,
+        ddim2/test.py:612-615)."""
+        from advshadow_tpu.attack import clamp_shadow_params
+
+        H_, W_ = 12, 20  # wide image: old code let y reach 20 > H
+        params = {"center": jnp.asarray([25.0, 18.0]),
+                  "radius": jnp.asarray(30.0)}
+        out = clamp_shadow_params(params, H_, W_)
+        assert float(out["center"][0]) == pytest.approx(20.0)  # x -> W
+        assert float(out["center"][1]) == pytest.approx(12.0)  # y -> H
+        assert float(out["radius"]) == pytest.approx(6.0)      # min(H,W)/2
+        out2 = clamp_shadow_params(
+            {"center": jnp.asarray([-3.0, -1.0]), "radius": jnp.asarray(-2.0)},
+            H_, W_)
+        assert float(out2["center"][0]) == 0.0
+        assert float(out2["center"][1]) == 0.0
+        assert float(out2["radius"]) == 0.0
+
 
 class TestIGClosedForm:
     def test_ig_closed_form_equals_loop(self):

@@ -16,6 +16,8 @@ from advshadow_tpu.parallel import (
     make_mesh,
     replicate,
     shard_batch,
+    shard_train_state,
+    tp_shardings,
 )
 from advshadow_tpu.train import (
     TrainConfig,
@@ -120,6 +122,64 @@ class TestSharding:
         # params stay replicated after the update
         leaf = jax.tree_util.tree_leaves(state.params)[0]
         assert leaf.sharding.is_fully_replicated
+
+    def test_tensor_parallel_matches_replicated(self):
+        """Real TP: widest conv kernels sharded over a 2-way 'model' axis
+        produce the same train step as the fully-replicated run."""
+        coeffs = make_diffusion(20, "framework_linear")
+        model = tiny_model(num_classes=4)
+        cfg = TrainConfig(lr=1e-3, conditional=True, epochs=2, steps_per_epoch=2)
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.uniform(rng, (16, 16, 16, 3), minval=-1, maxval=1)
+        labels = jnp.zeros((16,), jnp.int32)
+        step_fn = make_train_step(coeffs, cfg, donate=False)
+
+        # baseline: replicated over a pure-dp mesh
+        mesh_dp = make_mesh(data=8, model=1)
+        state0 = create_train_state(model, rng, x, cfg, labels=labels)
+        s_rep = replicate(state0, mesh_dp)
+        b_rep = shard_batch({"x": x, "y": labels}, mesh_dp)
+        s_rep, m_rep = step_fn(s_rep, b_rep["x"], b_rep["y"], rng)
+
+        # tp: (data=4, model=2), 64-wide convs genuinely split
+        mesh_tp = make_mesh(data=4, model=2)
+        s_tp = create_train_state(model, rng, x, cfg, labels=labels)
+        s_tp = shard_train_state(s_tp, mesh_tp, min_channels=64)
+        n_tp = sum(
+            1 for leaf in jax.tree_util.tree_leaves(s_tp.params)
+            if "model" in (leaf.sharding.spec or ())
+        )
+        assert n_tp > 0, "tp rule sharded nothing"
+        b_tp = shard_batch({"x": x, "y": labels}, mesh_tp)
+        s_tp, m_tp = step_fn(s_tp, b_tp["x"], b_tp["y"], rng)
+
+        assert np.isclose(float(m_tp["loss"]), float(m_rep["loss"]),
+                          rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(s_tp.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(s_rep.params)[0]),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_tp_shardings_rule(self):
+        mesh = make_mesh(data=4, model=2)
+        params = {
+            "wide": {"kernel": jnp.zeros((3, 3, 32, 64)),
+                     "bias": jnp.zeros((64,))},
+            "narrow": {"kernel": jnp.zeros((3, 3, 8, 16)),
+                       "bias": jnp.zeros((16,))},
+            "odd": {"kernel": jnp.zeros((3, 3, 32, 65))},
+        }
+        sh = tp_shardings(params, mesh, min_channels=64)
+        assert sh["wide"]["kernel"].spec == jax.sharding.PartitionSpec(
+            None, None, None, "model")
+        assert sh["wide"]["bias"].spec == jax.sharding.PartitionSpec("model")
+        assert sh["narrow"]["kernel"].spec == jax.sharding.PartitionSpec()
+        assert sh["odd"]["kernel"].spec == jax.sharding.PartitionSpec()
+        # model=1 mesh: rule is a no-op
+        sh1 = tp_shardings(params, make_mesh(data=8, model=1), min_channels=1)
+        assert all(s.spec == jax.sharding.PartitionSpec()
+                   for s in jax.tree_util.tree_leaves(sh1))
 
 
 class TestCheckpoint:
