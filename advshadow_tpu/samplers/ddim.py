@@ -67,15 +67,18 @@ def ddim_sample(
     method: str = "uniform",
     eta: float = 0.0,
     clip_denoised: bool = True,
+    x_init: jax.Array | None = None,
 ) -> jax.Array:
-    """Hand-rolled DDIM (ref: diff_model.py:416-474). Returns [-1,1] floats."""
+    """Hand-rolled DDIM (ref: diff_model.py:416-474). Returns [-1,1] floats.
+    ``x_init`` overrides the PRNG initial draw (golden-parity hook)."""
     seq = ddim_timestep_sequence(coeffs.num_timesteps, ddim_timesteps, method)
     prev_seq = np.concatenate([[0], seq[:-1]])
     ts = jnp.asarray(seq[::-1].copy(), dtype=jnp.int32)
     prev_ts = jnp.asarray(prev_seq[::-1].copy(), dtype=jnp.int32)
 
     rng, init_rng = jax.random.split(rng)
-    x0 = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    x0 = x_init if x_init is not None else jax.random.normal(
+        init_rng, tuple(shape), dtype=jnp.float32)
     step_rngs = jax.random.split(rng, len(seq))
 
     def step(x, inp):
@@ -95,14 +98,17 @@ def ddim_sample_framework(
     sample_steps: int = 500,
     eta: float = 0.0,
     clip_denoised: bool = True,
+    x_init: jax.Array | None = None,
 ) -> jax.Array:
-    """Vendored-framework DDIM (ref: model/samples/ddim.py:20-100)."""
+    """Vendored-framework DDIM (ref: model/samples/ddim.py:20-100).
+    ``x_init`` overrides the PRNG initial draw (golden-parity hook)."""
     pairs = framework_time_pairs(coeffs.num_timesteps, sample_steps)
     ts = jnp.asarray(pairs[:, 0])
     prev_ts = jnp.asarray(pairs[:, 1])
 
     rng, init_rng = jax.random.split(rng)
-    x0 = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    x0 = x_init if x_init is not None else jax.random.normal(
+        init_rng, tuple(shape), dtype=jnp.float32)
     step_rngs = jax.random.split(rng, pairs.shape[0])
 
     def step(x, inp):

@@ -32,29 +32,38 @@ def ddpm_sample(
     rng: jax.Array,
     shape: Sequence[int],
     return_all: bool = False,
+    x_init: jax.Array | None = None,
+    step_noise: jax.Array | None = None,
 ) -> jax.Array:
     """Vendored-framework DDPM reverse process. Returns x in [-1, 1] space
     (callers convert with :func:`advshadow_tpu.ops.image.to_uint8`).
     ``return_all`` stacks every intermediate state [T-1, *shape] — the
     reference's save-image-every-step option
-    (ref: model/samples/ddpm.py:90-93) without per-step host syncs."""
+    (ref: model/samples/ddpm.py:90-93) without per-step host syncs.
+    ``x_init`` / ``step_noise`` ([T-1, *shape], high-t first) override the
+    PRNG draws — the reproducibility hook the golden chain-parity tests
+    use to feed the torch reference and this sampler identical noise."""
     T = coeffs.num_timesteps
     n = shape[0]
-    rng, init_rng = jax.random.split(rng)
-    x0 = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    if x_init is None:
+        rng, init_rng = jax.random.split(rng)
+        x_init = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
     ts = jnp.arange(T - 1, 0, -1, dtype=jnp.int32)  # T-1 .. 1
-    step_rngs = jax.random.split(rng, T - 1)
+    # per-step noise stays inside the scan by default (no [T, *shape]
+    # materialization); injected noise rides as a scan input.
+    inputs = (ts, jax.random.split(rng, T - 1)) if step_noise is None \
+        else (ts, step_noise)
 
     def step(x, inp):
-        i, key = inp
+        i, nz = inp
         t = jnp.full((n,), i, dtype=jnp.int32)
         eps = denoise_fn(x, t)
         alpha = coeffs.alphas[i]
         alpha_hat = coeffs.alphas_cumprod[i]
         beta = coeffs.betas[i]
-        noise = jnp.where(
-            i > 1, jax.random.normal(key, x.shape, x.dtype), jnp.zeros_like(x)
-        )
+        draw = (jax.random.normal(nz, x.shape, x.dtype)
+                if step_noise is None else nz)
+        noise = jnp.where(i > 1, draw, jnp.zeros_like(x))
         x = (
             1.0 / jnp.sqrt(alpha)
             * (x - ((1 - alpha) / jnp.sqrt(1 - alpha_hat)) * eps)
@@ -62,7 +71,7 @@ def ddpm_sample(
         )
         return x, (x if return_all else None)
 
-    x, xs = jax.lax.scan(step, x0, (ts, step_rngs))
+    x, xs = jax.lax.scan(step, x_init, inputs)
     return xs if return_all else x
 
 
@@ -73,27 +82,33 @@ def p_sample_loop(
     shape: Sequence[int],
     clip_denoised: bool = True,
     return_all: bool = False,
+    x_init: jax.Array | None = None,
+    step_noise: jax.Array | None = None,
 ) -> jax.Array:
     """Hand-rolled posterior sampler (ref: diff_model.py:385-408).
     ``return_all`` returns the whole trajectory like the reference's
     ``imgs`` list (without its per-step ``.cpu()`` sync, diff_model.py:407).
-    """
+    ``x_init`` / ``step_noise`` ([T, *shape], high-t first) override the
+    PRNG draws (golden-parity / reproducibility hook)."""
     T = coeffs.num_timesteps
     n = shape[0]
-    rng, init_rng = jax.random.split(rng)
-    x0 = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    if x_init is None:
+        rng, init_rng = jax.random.split(rng)
+        x_init = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
     ts = jnp.arange(T - 1, -1, -1, dtype=jnp.int32)  # T-1 .. 0
-    step_rngs = jax.random.split(rng, T)
+    inputs = (ts, jax.random.split(rng, T)) if step_noise is None \
+        else (ts, step_noise)
 
     def step(x, inp):
-        i, key = inp
+        i, nz = inp
         t = jnp.full((n,), i, dtype=jnp.int32)
         eps = denoise_fn(x, t)
         mean, _, log_var = p_mean_variance(coeffs, x, t, eps, clip_denoised)
-        noise = jax.random.normal(key, x.shape, x.dtype)
+        noise = (jax.random.normal(nz, x.shape, x.dtype)
+                 if step_noise is None else nz)
         nonzero = (i != 0).astype(x.dtype)
         x = mean + nonzero * jnp.exp(0.5 * log_var) * noise
         return x, (x if return_all else None)
 
-    x, xs = jax.lax.scan(step, x0, (ts, step_rngs))
+    x, xs = jax.lax.scan(step, x_init, inputs)
     return xs if return_all else x

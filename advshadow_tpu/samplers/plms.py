@@ -30,11 +30,13 @@ def plms_sample(
     clip_denoised: bool = True,
     boot_denoise_fn: DenoiseFn | None = None,
     return_all: bool = False,
+    x_init: jax.Array | None = None,
 ) -> jax.Array:
     """Sample with PLMS.  ``boot_denoise_fn`` is used for the bootstrap's
     extra forward; the reference skips CFG there (ref:
     model/samples/plms.py:104-108), so drivers pass the plain conditional
-    fn.  Defaults to ``denoise_fn``.
+    fn.  Defaults to ``denoise_fn``.  ``x_init`` overrides the PRNG
+    initial draw (golden-parity hook).
     """
     if boot_denoise_fn is None:
         boot_denoise_fn = denoise_fn
@@ -44,7 +46,8 @@ def plms_sample(
     n = shape[0]
 
     rng, init_rng = jax.random.split(rng)
-    x_init = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
+    if x_init is None:
+        x_init = jax.random.normal(init_rng, tuple(shape), dtype=jnp.float32)
     step_rngs = jax.random.split(rng, pairs.shape[0])
 
     def update(x, eps, abar_t, abar_prev, noise):

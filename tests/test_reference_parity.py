@@ -208,3 +208,168 @@ class TestDDIMStepParity:
             clip_denoised=True)
         np.testing.assert_allclose(
             np.transpose(np.asarray(ours), (0, 3, 1, 2)), theirs, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full sampler CHAIN parity: run the reference's actual sampler classes
+# (model/samples/{ddpm,ddim,plms}.py) end-to-end against our lax.scan
+# samplers, sharing an analytic denoiser and identical injected noise.
+# ---------------------------------------------------------------------------
+
+T_CHAIN = 30
+
+
+class _AnalyticTorchModel:
+    """eps(x, t) = 0.1*x + 0.01*t/T — layout-commuting, t-dependent."""
+
+    def __call__(self, x, t, labels=None):
+        return 0.1 * x + 0.01 * (t.float() / T_CHAIN)[:, None, None, None]
+
+    def eval(self):
+        return self
+
+    def train(self):
+        return self
+
+
+def _analytic_jax(x, t):
+    return 0.1 * x + 0.01 * (t.astype(jnp.float32) / T_CHAIN)[:, None, None, None]
+
+
+def _circular_uint8_diff(a, b):
+    """uint8 distance modulo 256 (both sides truncate out-of-range floats
+    with wraparound; a 255 vs 0 straddle is distance 1, not 255)."""
+    d = (a.astype(np.int64) - b.astype(np.int64)) % 256
+    return np.minimum(d, 256 - d)
+
+
+def _to_ref_uint8(x, clamp):
+    x = np.asarray(x, np.float64)
+    if clamp:
+        x = np.clip(x, -1.0, 1.0)
+    return (((x + 1.0) * 0.5 * 255.0).astype(np.int64) % 256).astype(np.uint8)
+
+
+@pytest.fixture()
+def chain_rng():
+    rng = np.random.default_rng(42)
+    x_init = rng.standard_normal((2, 3, 8, 8)).astype(np.float32)
+    noise = rng.standard_normal((T_CHAIN, 2, 3, 8, 8)).astype(np.float32)
+    return x_init, noise
+
+
+def _patch_torch_noise(monkeypatch, x_init, noise_seq):
+    """Make torch.randn return x_init and torch.randn_like pop noise_seq."""
+    it = iter(noise_seq)
+    monkeypatch.setattr(torch, "randn",
+                        lambda *a, **k: torch.from_numpy(x_init.copy()))
+    monkeypatch.setattr(
+        torch, "randn_like",
+        lambda x, **k: torch.from_numpy(next(it).copy()))
+
+
+class TestFrameworkChainParity:
+    def test_ddpm_chain(self, monkeypatch, chain_rng):
+        """Full T-1-step framework DDPM reverse chain vs the reference's
+        DDPMDiffusion.sample (ref: model/samples/ddpm.py:42-105)."""
+        from model.samples.ddpm import DDPMDiffusion
+
+        from advshadow_tpu.core import make_diffusion
+        from advshadow_tpu.samplers.ddpm import ddpm_sample
+
+        x_init, noise = chain_rng
+        _patch_torch_noise(monkeypatch, x_init, noise)
+        ref = DDPMDiffusion(noise_steps=T_CHAIN, img_size=8, device="cpu")
+        theirs = ref.sample(_AnalyticTorchModel(), n=2, save_path=None).numpy()
+
+        coeffs = make_diffusion(T_CHAIN, "framework_linear")
+        # our scan runs ts = T-1..1 with noise zeroed at t==1; feed the
+        # torch draws for ts T-1..2 (the reference draws nothing at t=1)
+        step_noise = jnp.asarray(
+            np.transpose(noise[: T_CHAIN - 1], (0, 1, 3, 4, 2)))
+        ours = ddpm_sample(
+            coeffs, _analytic_jax, jax.random.PRNGKey(0), (2, 8, 8, 3),
+            x_init=jnp.asarray(np.transpose(x_init, (0, 2, 3, 1))),
+            step_noise=step_noise)
+        ours_u8 = np.transpose(
+            _to_ref_uint8(ours, clamp=True), (0, 3, 1, 2))
+        assert _circular_uint8_diff(ours_u8, theirs).max() <= 1
+
+    def test_ddim_framework_chain(self, monkeypatch, chain_rng):
+        """Full pair-strided framework DDIM chain vs DDIMDiffusion.sample
+        (ref: model/samples/ddim.py:44-94), eta=0."""
+        from model.samples.ddim import DDIMDiffusion
+
+        from advshadow_tpu.core import make_diffusion
+        from advshadow_tpu.samplers.ddim import ddim_sample_framework
+
+        x_init, noise = chain_rng
+        _patch_torch_noise(monkeypatch, x_init, noise)
+        ref = DDIMDiffusion(noise_steps=T_CHAIN, sample_steps=10,
+                            img_size=8, device="cpu")
+        theirs = ref.sample(_AnalyticTorchModel(), n=2).numpy()
+
+        coeffs = make_diffusion(T_CHAIN, "framework_linear")
+        ours = ddim_sample_framework(
+            coeffs, _analytic_jax, jax.random.PRNGKey(0), (2, 8, 8, 3),
+            sample_steps=10, eta=0.0, clip_denoised=True,
+            x_init=jnp.asarray(np.transpose(x_init, (0, 2, 3, 1))))
+        ours_u8 = np.transpose(
+            _to_ref_uint8(ours, clamp=False), (0, 3, 1, 2))
+        assert _circular_uint8_diff(ours_u8, theirs).max() <= 1
+
+    def test_plms_chain(self, monkeypatch, chain_rng):
+        """Full PLMS chain — Improved-Euler bootstrap then AB-2/3/4 — vs
+        PLMSDiffusion.sample (ref: model/samples/plms.py:96-117)."""
+        from model.samples.plms import PLMSDiffusion
+
+        from advshadow_tpu.core import make_diffusion
+        from advshadow_tpu.samplers.plms import plms_sample
+
+        x_init, noise = chain_rng
+        _patch_torch_noise(monkeypatch, x_init, noise)
+        ref = PLMSDiffusion(noise_steps=T_CHAIN, sample_steps=10,
+                            img_size=8, device="cpu")
+        theirs = ref.sample(_AnalyticTorchModel(), n=2, save_path=None).numpy()
+
+        coeffs = make_diffusion(T_CHAIN, "framework_linear")
+        ours = plms_sample(
+            coeffs, _analytic_jax, jax.random.PRNGKey(0), (2, 8, 8, 3),
+            sample_steps=10, eta=0.0, clip_denoised=True,
+            x_init=jnp.asarray(np.transpose(x_init, (0, 2, 3, 1))))
+        ours_u8 = np.transpose(
+            _to_ref_uint8(ours, clamp=False), (0, 3, 1, 2))
+        assert _circular_uint8_diff(ours_u8, theirs).max() <= 1
+
+    def test_p_sample_loop_chain(self, monkeypatch, chain_rng):
+        """Hand-rolled ancestral chain vs GaussianDiffusion.p_sample_loop
+        (ref: diff_model.py:385-408) with identical injected noise."""
+        x_init, noise = chain_rng
+        gd = ref_diff.GaussianDiffusion(timesteps=T_CHAIN,
+                                        beta_schedule="linear")
+        it = iter(noise)
+        monkeypatch.setattr(
+            torch, "randn_like",
+            lambda x, **k: torch.from_numpy(next(it).copy()))
+
+        model = _AnalyticTorchModel()
+        x = torch.from_numpy(x_init.copy())
+        with torch.no_grad():
+            for i in reversed(range(T_CHAIN)):
+                t = torch.full((2,), i, dtype=torch.long)
+                x = gd.p_sample(model, x, t, clip_denoised=True)
+        theirs = x.numpy()
+
+        from advshadow_tpu.core import make_diffusion
+        from advshadow_tpu.samplers.ddpm import p_sample_loop
+
+        coeffs = make_diffusion(T_CHAIN, "linear")
+        step_noise = jnp.asarray(np.transpose(noise, (0, 1, 3, 4, 2)))
+        ours = p_sample_loop(
+            coeffs, _analytic_jax, jax.random.PRNGKey(0), (2, 8, 8, 3),
+            clip_denoised=True,
+            x_init=jnp.asarray(np.transpose(x_init, (0, 2, 3, 1))),
+            step_noise=step_noise)
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(ours), (0, 3, 1, 2)), theirs,
+            atol=5e-4)
