@@ -9,10 +9,18 @@ converges in ~30 steps to well below metric noise.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 __all__ = ["sqrtm_newton_schulz", "trace_sqrtm_product"]
+
+# TPU matmuls default to bf16 passes; 30 chained Newton-Schulz iterations
+# diverge to NaN under that rounding.  Pin the iteration to full-f32 MXU
+# passes — the matrices are small (feature-dim square), so the cost is
+# negligible next to the feature extraction.
+_mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
 
 def sqrtm_newton_schulz(a: jax.Array, num_iters: int = 30) -> jax.Array:
@@ -28,8 +36,8 @@ def sqrtm_newton_schulz(a: jax.Array, num_iters: int = 30) -> jax.Array:
 
     def body(carry, _):
         y, z = carry
-        t = 0.5 * (3.0 * eye - z @ y)
-        return (y @ t, t @ z), None
+        t = 0.5 * (3.0 * eye - _mm(z, y))
+        return (_mm(y, t), _mm(t, z)), None
 
     (y, _), _ = jax.lax.scan(body, (y0, eye), None, length=num_iters)
     return y * jnp.sqrt(norm)
@@ -58,7 +66,7 @@ def trace_sqrtm_product(sigma1: jax.Array, sigma2: jax.Array,
     s2 = sigma2 + ridge
     r = sqrtm_newton_schulz(s1, num_iters)
     r = 0.5 * (r + r.T)
-    inner = r @ s2 @ r
+    inner = _mm(_mm(r, s2), r)
     inner = 0.5 * (inner + inner.T)
     # f32 rounding can push tiny eigenvalues of the PSD product slightly
     # negative, which diverges NS — ridge the inner matrix as well

@@ -34,8 +34,12 @@ class _BasicConv(nn.Module):
 
 
 def _pool3_same(x):
+    # torchvision's branch_pool is F.avg_pool2d(x, 3, 1, 1) with the
+    # DEFAULT count_include_pad=True (always divide by 9) — the FID
+    # protocol (fid_fast.py:11-13) uses stock torchvision inception, not
+    # pytorch-fid's corrected-avg-pool variant.
     return nn.avg_pool(x, (3, 3), strides=(1, 1),
-                       padding=((1, 1), (1, 1)), count_include_pad=False)
+                       padding=((1, 1), (1, 1)), count_include_pad=True)
 
 
 def _maxpool3_s2(x):
