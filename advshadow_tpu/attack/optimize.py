@@ -132,6 +132,7 @@ def optimize_shadow_position(
     target_label: jax.Array,
     rng: jax.Array,
     config: ShadowOptConfig = EVAL_CONFIG,
+    ig_baselines: jax.Array | None = None,
 ) -> ShadowOptResult:
     """Optimize shadow (center, radius) against a frozen victim.
 
@@ -141,6 +142,8 @@ def optimize_shadow_position(
       mask: [H, W] object feature mask.
       target_label: scalar int label for the inner (targeted) attack.
       rng: PRNG key (drives the IG baselines).
+      ig_baselines: optional [iterations, H, W, C] IG baselines overriding
+        the PRNG draws (cross-pipeline parity hook).
     """
     H, W = image.shape[0], image.shape[1]
     mask_center = mask_centroid(mask)
@@ -148,13 +151,14 @@ def optimize_shadow_position(
     radius0 = jnp.asarray(config.radius_init, jnp.float32)
     tx = _make_optimizer(config)
 
-    def make_perturb_fn(key):
+    def make_perturb_fn(key, baseline=None):
         def perturb_fn(shadowed, combined_mask):
             if config.inner == "ig":
                 adv, pert = integrated_gradients_attack(
                     victim_fn, shadowed, target_label, combined_mask, key,
                     epsilon=config.inner_epsilon, alpha=config.inner_alpha,
                     iterations=config.inner_iterations, steps=config.inner_steps,
+                    baseline=baseline,
                 )
             else:
                 adv, pert = iterative_gradient_attack(
@@ -174,12 +178,12 @@ def optimize_shadow_position(
         params0["center"] = center0
     opt_state0 = tx.init(params0)
 
-    def loss_fn(params, base_image, key):
+    def loss_fn(params, base_image, key, baseline=None):
         center = params.get("center", center0)
         radius = params["radius"]
         result = apply_shadow(
             base_image, center, radius, mask,
-            perturb_fn=make_perturb_fn(key),
+            perturb_fn=make_perturb_fn(key, baseline),
             shadow_intensity=config.shadow_intensity,
             blur_kernel_size=config.blur_kernel_size,
             hard=config.hard, sharpness=config.sharpness,
@@ -194,9 +198,10 @@ def optimize_shadow_position(
 
     grad_fn = jax.grad(loss_fn, has_aux=True)
 
-    def step(carry, key):
+    def step(carry, inp):
+        key, baseline = inp if ig_baselines is not None else (inp, None)
         params, opt_state, base_image, _ = carry
-        grads, result = grad_fn(params, base_image, key)
+        grads, result = grad_fn(params, base_image, key, baseline)
         # The reference only steps when the shadow params received gradient
         # (ref: ddim2/test.py:606-609) — in hard-mask mode they never do, so
         # skip the update on all-zero grads for exact compat.
@@ -217,8 +222,9 @@ def optimize_shadow_position(
         return (params, opt_state, next_base, result), result.perturbation
 
     keys = jax.random.split(rng, config.iterations)
+    inputs = (keys, ig_baselines) if ig_baselines is not None else keys
     (params, _, _, final), perts = jax.lax.scan(
-        step, (params0, opt_state0, image, _empty_result(image, mask)), keys
+        step, (params0, opt_state0, image, _empty_result(image, mask)), inputs
     )
     center = params.get("center", center0)
     return ShadowOptResult(

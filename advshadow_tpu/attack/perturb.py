@@ -50,21 +50,28 @@ def integrated_gradients_attack(
     alpha: float = 0.005,
     iterations: int = 10,
     steps: int = 20,
+    baseline: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Iterative IG sign attack on a single [H, W, C] image.
 
     Matches ref: ddim2/test.py:647-681: random-normal baseline, path sum
     of grads / steps (over steps+1 points), g / (||g||_1 + 1e-8), masked,
     perturbation -= alpha/sqrt(i+1) * sign(g), clamp to ±epsilon; returns
-    (clip(image + perturbation, 0, 1), perturbation).
+    (clip(image + perturbation, 0, 1), perturbation).  ``baseline``
+    overrides the PRNG draw (cross-pipeline parity hook).
     """
-    baseline = jax.random.normal(rng, image.shape, image.dtype)
+    if baseline is None:
+        baseline = jax.random.normal(rng, image.shape, image.dtype)
     ks = jnp.arange(steps + 1, dtype=jnp.float32) / steps  # [S+1]
+    # the whole path as one batch: [S+1, H, W, C].  The reference takes
+    # gradients w.r.t. EACH PATH POINT (interp_img.grad,
+    # ddim2/test.py:661-666), NOT w.r.t. the endpoint image —
+    # differentiating through the path construction would scale point k's
+    # gradient by k/steps.  So: build the path, then grad w.r.t. it.
+    path = baseline[None] + ks[:, None, None, None] * (image[None] - baseline[None])
 
-    def path_ce(img):
-        # stack the whole path as one batch: [S+1, H, W, C]
-        path = baseline[None] + ks[:, None, None, None] * (img[None] - baseline[None])
-        logits = victim_fn(path)
+    def path_ce(p):
+        logits = victim_fn(p)
         labels = jnp.full((steps + 1,), label, dtype=jnp.int32)
         # sum (not mean) so d/dpath decouples into per-point grads
         logp = jax.nn.log_softmax(logits, axis=-1)
@@ -78,7 +85,13 @@ def integrated_gradients_attack(
     # clip equal to one final clip. The closed form below is bit-exact
     # with the reference loop (see test_ig_closed_form_equals_loop) at
     # 1/iterations the victim cost.
-    ig = jax.grad(path_ce)(image) / steps
+    per_point = jax.grad(path_ce)(path)          # [S+1, H, W, C]
+    # accumulate SEQUENTIALLY in f32 (integrated_grads += grad/steps,
+    # ddim2/test.py:666): the path grads nearly cancel, so the f32
+    # reduction ORDER is visible in the sign pattern — a tree-reduce
+    # jnp.sum costs ~2 bits of agreement with the reference here.
+    ig, _ = jax.lax.scan(lambda acc, g: (acc + g / steps, None),
+                         jnp.zeros_like(image), per_point)
     norm_g = ig / (jnp.sum(jnp.abs(ig)) + 1e-8)
     sign = jnp.sign(norm_g * feature_mask[..., None])
     total_step = alpha * jnp.sum(

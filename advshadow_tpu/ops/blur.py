@@ -18,11 +18,38 @@ import numpy as np
 __all__ = ["gaussian_kernel_1d", "gaussian_blur"]
 
 
+#: OpenCV's fixed small-kernel table (modules/imgproc/src/smooth.cpp):
+#: for odd ksize <= 7 with sigma <= 0 getGaussianKernel returns these
+#: binomial-ish taps, NOT the exp formula.
+_CV2_SMALL_TAB = {
+    1: np.asarray([1.0]),
+    3: np.asarray([0.25, 0.5, 0.25]),
+    5: np.asarray([0.0625, 0.25, 0.375, 0.25, 0.0625]),
+    7: np.asarray([0.03125, 0.109375, 0.21875, 0.28125,
+                   0.21875, 0.109375, 0.03125]),
+}
+
+
 def gaussian_kernel_1d(ksize: int, sigma: float = 0.0) -> np.ndarray:
     """OpenCV-compatible 1-D Gaussian kernel (cv2.getGaussianKernel parity).
 
-    sigma <= 0 uses OpenCV's rule: sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8.
+    Host-side precompute: when cv2 is importable its own
+    ``getGaussianKernel`` is authoritative (newer OpenCV also quantizes
+    mid-size kernels).  Fallback reproduces OpenCV's documented rules:
+    sigma <= 0 with ksize <= 7 uses the fixed small-kernel table (the
+    reference's blur is GaussianBlur(k=5, sigma=0) -> [1,4,6,4,1]/16
+    exactly, ddim2/test.py:624); larger ksize uses the exp formula with
+    sigma = 0.3*((ksize-1)*0.5 - 1) + 0.8.
     """
+    try:
+        import cv2
+
+        return cv2.getGaussianKernel(
+            ksize, sigma if sigma > 0 else 0).ravel().astype(np.float32)
+    except ImportError:  # pragma: no cover - cv2 is present in CI
+        pass
+    if sigma <= 0 and ksize in _CV2_SMALL_TAB:
+        return _CV2_SMALL_TAB[ksize].astype(np.float32)
     if sigma <= 0:
         sigma = 0.3 * ((ksize - 1) * 0.5 - 1.0) + 0.8
     x = np.arange(ksize, dtype=np.float64) - (ksize - 1) * 0.5

@@ -83,14 +83,20 @@ class TestBlur:
         out = gaussian_blur(jnp.asarray(x), 5)
         np.testing.assert_allclose(out, expected, atol=1e-5)
 
-    def test_opencv_sigma_rule(self):
-        # sigma(ksize=5) = 0.3*((5-1)*0.5 - 1) + 0.8 = 1.1
-        k = gaussian_kernel_1d(5)
-        sigma = 1.1
-        xs = np.arange(5) - 2.0
-        expected = np.exp(-xs**2 / (2 * sigma**2))
-        expected /= expected.sum()
-        np.testing.assert_allclose(k, expected, rtol=1e-6)
+    def test_opencv_kernel_parity(self):
+        """Kernel AND full blur match the real cv2 (small-ksize fixed tab
+        for sigma<=0; exp formula above ksize 7)."""
+        cv2 = pytest.importorskip("cv2")
+        for ksize in (3, 5, 7, 9):
+            np.testing.assert_allclose(
+                gaussian_kernel_1d(ksize),
+                cv2.getGaussianKernel(ksize, 0).ravel(), rtol=1e-6,
+                err_msg=f"ksize={ksize}")
+        rng = np.random.default_rng(1)
+        x = rng.random((16, 16)).astype(np.float32)
+        expected = cv2.GaussianBlur(x, (5, 5), 0)
+        out = gaussian_blur(jnp.asarray(x), 5)
+        np.testing.assert_allclose(np.asarray(out), expected, atol=2e-7)
 
     def test_blur_differentiable(self):
         g = jax.grad(lambda m: jnp.sum(soften_mask(m) ** 2))(jnp.ones((8, 8)))
@@ -257,13 +263,13 @@ class TestIGClosedForm:
             victim, image, label, mask, rng,
             epsilon=eps, alpha=alpha, iterations=iters, steps=steps)
 
-        # reference-style loop (transcribed semantics, recomputing IG)
+        # reference-style loop (transcribed semantics, recomputing IG).
+        # NB the reference differentiates w.r.t. EACH PATH POINT
+        # (interp_img.grad, ddim2/test.py:661-666), not the endpoint.
         baseline = jax.random.normal(rng, image.shape, image.dtype)
         ks = jnp.arange(steps + 1, dtype=jnp.float32) / steps
 
-        def path_ce(img):
-            path = baseline[None] + ks[:, None, None, None] * (
-                img[None] - baseline[None])
+        def path_ce(path):
             logits = victim(path)
             logp = jax.nn.log_softmax(logits, axis=-1)
             labels = jnp.full((steps + 1,), label, jnp.int32)
@@ -271,7 +277,9 @@ class TestIGClosedForm:
 
         p = jnp.zeros_like(image)
         for i in range(iters):
-            ig = jax.grad(path_ce)(image) / steps
+            path = baseline[None] + ks[:, None, None, None] * (
+                image[None] - baseline[None])
+            ig = jnp.sum(jax.grad(path_ce)(path), axis=0) / steps
             norm_g = ig / (jnp.sum(jnp.abs(ig)) + 1e-8)
             masked = norm_g * mask[..., None]
             p = jnp.clip(p - (alpha / np.sqrt(i + 1)) * jnp.sign(masked),
