@@ -122,16 +122,54 @@ class AttentionBlock(nn.Module):
         return out + x
 
 
+class _ConvParams(nn.Module):
+    """Parameter container matching nn.Conv's {kernel, bias} tree so
+    checkpoints stay interchangeable with the plain-conv Upsample."""
+
+    features: int
+    in_features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, self.in_features, self.features), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), self.param_dtype)
+        return kernel, bias
+
+
 class Upsample(nn.Module):
-    """Nearest x2 (+ optional 3x3 conv). (ref: diff_model.py:129-140)"""
+    """Nearest x2 (+ optional 3x3 conv). (ref: diff_model.py:129-140)
+
+    With ``subpixel`` (default) the conv path computes
+    conv3x3(nearest_x2(x)) as four 2x2 convs on the LOW-RES input + a
+    pixel shuffle (:mod:`advshadow_tpu.ops.upsample`): 2.25x fewer FLOPs
+    and no materialized upsampled intermediate — this conv is the
+    sampler's single most expensive op on v5e.  Exact up to f32 tap-sum
+    reassociation; params are identical to the plain conv.
+    """
 
     use_conv: bool = True
+    subpixel: bool = True      # False = literal nearest-x2 + conv
+    dilated: bool = True       # one lhs-dilated conv vs 4-phase+interleave
     dtype: jnp.dtype = None
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, H, W, C = x.shape
+        if self.use_conv and self.subpixel:
+            from advshadow_tpu.ops.upsample import (
+                upsample2x_conv3x3,
+                upsample2x_conv3x3_dilated,
+            )
+
+            kernel, bias = _ConvParams(C, C, self.param_dtype, name="conv")()
+            fn = (upsample2x_conv3x3_dilated if self.dilated
+                  else upsample2x_conv3x3)
+            return fn(x, kernel, bias, dtype=self.dtype)
         x = jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
         if self.use_conv:
             x = nn.Conv(C, (3, 3), padding=1, dtype=self.dtype,

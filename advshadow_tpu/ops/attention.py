@@ -139,11 +139,19 @@ def _attention_pallas(
     return out[:, :T, :d]
 
 
+#: below this token count XLA's plain einsum attention wins: measured on
+#: v5e at the bench flagship (64px UNet, attn maps 8x8/4x4, bf16 batch
+#: 512) the sampler runs 86.4 imgs/s with XLA attention vs 76.2 with the
+#: flash kernel — tiny score matrices don't amortize the kernel's
+#: blockwise-softmax machinery, and XLA batches them onto the MXU well.
+_PALLAS_MIN_TOKENS = 2048
+
+
 def _use_pallas_auto(T: int, d: int) -> bool:
-    """Shape feasibility only — the backend choice happens at lowering
-    time via ``lax.platform_dependent`` (the kernel must fit: full K/V +
-    a [BLOCK_Q, T] score tile comfortably in VMEM)."""
-    if not _HAS_PALLAS:
+    """Auto rule: flash kernel only where it earns its keep (large token
+    counts whose [T, T] scores XLA would materialize), and only when the
+    kernel fits: full K/V + a [BLOCK_Q, T] score tile in VMEM."""
+    if not _HAS_PALLAS or T < _PALLAS_MIN_TOKENS:
         return False
     d_pad = -(-d // _LANE) * _LANE
     t_pad = -(-T // _LANE) * _LANE

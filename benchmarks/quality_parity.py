@@ -47,12 +47,15 @@ REFERENCE = "/root/reference"
 # ---------------------------------------------------------------------------
 
 def _stub(name, **attrs):
-    if name in sys.modules:
-        return sys.modules[name]
-    mod = types.ModuleType(name)
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    # fill in missing attrs even on an existing stub (tests/reference_loader
+    # registers leaner stubs for the same modules; order must not matter)
     for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
+        if not hasattr(mod, k):
+            setattr(mod, k, v)
     return mod
 
 

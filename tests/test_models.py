@@ -130,6 +130,45 @@ class TestPixelShuffle:
         np.testing.assert_allclose(ours, theirs, atol=0)
 
 
+class TestSubpixelUpsample:
+    def test_matches_literal_upsample_conv(self):
+        """Four-phase 2x2 decomposition == nearest-x2 + SAME conv3x3."""
+        from advshadow_tpu.ops.upsample import upsample2x_conv3x3
+
+        rng = np.random.default_rng(0)
+        B, H, W, Cin, Cout = 2, 5, 7, 8, 16  # odd sizes stress boundaries
+        x = jnp.asarray(rng.standard_normal((B, H, W, Cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.1,
+                        jnp.float32)
+        b = jnp.asarray(rng.standard_normal((Cout,)), jnp.float32)
+
+        up = jax.image.resize(x, (B, 2 * H, 2 * W, Cin), method="nearest")
+        dn = jax.lax.conv_dimension_numbers(up.shape, k.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        expected = jax.lax.conv_general_dilated(
+            up, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn) + b
+        got = upsample2x_conv3x3(x, k, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   atol=1e-5)
+
+    def test_module_param_tree_and_flag_parity(self):
+        """Upsample(subpixel) has the same param tree as the literal conv
+        and produces the same output with shared params."""
+        from advshadow_tpu.models.layers import Upsample
+
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((1, 8, 8, 32)),
+            jnp.float32)
+        m_fast = Upsample(subpixel=True)
+        m_ref = Upsample(subpixel=False)
+        params = jax.jit(m_ref.init)(jax.random.PRNGKey(0), x)
+        y_ref = m_ref.apply(params, x)
+        y_fast = m_fast.apply(params, x)  # same tree fits both paths
+        assert y_fast.shape == (1, 16, 16, 32)
+        np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
+                                   atol=1e-5)
+
+
 class TestPallasKernelInterpret:
     def test_kernel_matches_reference_in_interpret_mode(self):
         """Run the actual Pallas attention kernel (interpret mode, CPU) and
