@@ -123,6 +123,26 @@ def main():
     log(f"phase timing: generate {tg:.2f}s ({batch / tg:.1f}/s), "
         f"attack {ta:.2f}s ({batch / ta:.1f}/s)")
 
+    # analytic FLOPs (XLA cost analysis counts loop bodies once; scale by
+    # trip counts): sampler body x steps + attack body x outer iterations.
+    # IMPORTANT: analyze the SAME jitted executables the timed loop runs —
+    # extra compiled programs thrash the relay's program cache.
+    def _flops(jitted, *args, trips=1):
+        try:
+            cost = jitted.lower(*args).compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            return float(cost.get("flops", 0.0)) * trips
+        except Exception:
+            return 0.0
+
+    imgs01 = (jnp.clip(imgs, -1, 1) + 1) / 2
+    total_flops = (
+        _flops(generate, jax.random.PRNGKey(2), trips=ddim_steps)
+        + _flops(batched_optimize_shadow, victim_fn, imgs01, masks, targets,
+                 jax.random.PRNGKey(3), attack_cfg,
+                 trips=attack_cfg.iterations))
+
     # timed end-to-end runs
     reps = 2 if small else 3
     t1 = time.time()
@@ -139,6 +159,10 @@ def main():
         "unit": "imgs/sec/chip",
         "vs_baseline": round(per_chip / NORTH_STAR_PER_CHIP, 3),
     }
+    if total_flops:
+        achieved = total_flops * reps / dt / n_chips
+        result["achieved_tflops_per_chip"] = round(achieved / 1e12, 2)
+        result["mfu_vs_v5e_bf16_peak"] = round(achieved / 197e12, 4)
     print(json.dumps(result))
 
 

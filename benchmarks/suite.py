@@ -34,12 +34,38 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _result(name, value, unit, baseline=None):
+#: v5e peak dense bf16 throughput per chip; MFU is reported against this
+#: ceiling regardless of dtype (f32 work shows as proportionally lower).
+V5E_PEAK_FLOPS = 197e12
+
+
+def _result(name, value, unit, baseline=None, flops=None, seconds=None):
     out = {"metric": name, "value": round(float(value), 3), "unit": unit}
     if baseline:
         out["vs_baseline"] = round(float(value) / baseline, 3)
+    if flops and seconds:
+        achieved = flops / seconds
+        out["achieved_tflops"] = round(achieved / 1e12, 2)
+        out["mfu_vs_v5e_bf16_peak"] = round(achieved / V5E_PEAK_FLOPS, 4)
     print(json.dumps(out))
     return out
+
+
+def _compiled_flops(jitted, *args, trips: int = 1) -> float:
+    """Analytic FLOP count of a compiled jit fn.
+
+    XLA cost analysis counts a while/scan BODY ONCE (verified: scan(10)
+    and scan(20) of the same matmul report identical flops), so callers
+    pass the loop trip count and the body-dominated total is
+    flops * trips (prologue ops are negligible for these workloads).
+    """
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        return float(cost.get("flops", 0.0)) * trips
+    except Exception:  # pragma: no cover - older jax fallbacks
+        return 0.0
 
 
 def _setup():
@@ -75,13 +101,15 @@ def config_single_224(small):
     fn = jax.jit(lambda im, k: optimize_shadow_position(
         victim_fn, im, mask, jnp.int32(3), k, cfg).image)
     fn(image, rng).block_until_ready()  # compile
+    flops = _compiled_flops(fn, image, rng, trips=cfg.iterations)
     reps = 3
     t0 = time.time()
     for i in range(reps):
         out = fn(image * (1 + 1e-6 * i), jax.random.fold_in(rng, i))
     np.asarray(out)
     dt = (time.time() - t0) / reps
-    return _result("single-224 shadow attack latency", dt * 1000, "ms/img")
+    return _result("single-224 shadow attack latency", dt * 1000, "ms/img",
+                   flops=flops, seconds=dt)
 
 
 def config_batch64(small):
@@ -122,6 +150,14 @@ def config_batch64(small):
                                        (y + 1) % 37, key, cfg).image
 
     one_batch(jax.random.PRNGKey(1)).block_until_ready()  # compile
+    # per-batch flops: sampler body x steps + attack body x outer iters
+    gen_fn = jax.jit(lambda key: ddim_sample(
+        coeffs, denoise, key, (batch, size, size, 3), ddim_timesteps=steps))
+    atk_fn = jax.jit(lambda key: batched_optimize_shadow(
+        victim_fn, jnp.zeros((batch, size, size, 3)), masks, (y + 1) % 37,
+        key, cfg).image)
+    flops = (_compiled_flops(gen_fn, rng, trips=steps)
+             + _compiled_flops(atk_fn, rng, trips=cfg.iterations))
     n_batches = subset // batch
     t0 = time.time()
     attacked = []
@@ -133,16 +169,22 @@ def config_batch64(small):
     dt = time.time() - t0
     log(f"ASR on {subset}-image subset (random victim): {asr['asr']:.3f}")
     return _result("batch64 DDIM-50 attack+eval throughput",
-                   subset / dt, "imgs/sec", baseline=10.417)
+                   subset / dt, "imgs/sec", baseline=10.417,
+                   flops=flops * n_batches, seconds=dt)
 
 
 def config_vit_victim(small):
     """Config 3: ViT victim with gradient-guided shadow optimization."""
     from advshadow_tpu.attack import ShadowOptConfig, batched_optimize_shadow
 
+    from advshadow_tpu.victims import make_victim_fn, make_victim_model
+
     size = 64 if small else 224
     batch = 2 if small else 16
-    victim_fn = _victim("vit_s16" if small else "vit_b16", size)
+    name = "vit_s16" if small else "vit_b16"
+    model = make_victim_model(name, num_classes=37)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
     cfg = ShadowOptConfig(iterations=2 if small else 11,
                           inner_iterations=2 if small else 10,
                           inner_steps=4 if small else 20)
@@ -151,15 +193,22 @@ def config_vit_victim(small):
     masks = jnp.ones((batch, size, size))
     targets = jnp.arange(batch, dtype=jnp.int32) % 37
 
-    fn = jax.jit(lambda im, k: batched_optimize_shadow(
-        victim_fn, im, masks, targets, k, cfg).image)
-    fn(imgs, rng).block_until_ready()
+    # params ride as jit ARGUMENTS: a ViT-B/16 closed over as a constant
+    # embeds 344 MB of literals into the HLO (the remote-compile service
+    # rejects the payload with HTTP 413)
+    @jax.jit
+    def fn(variables, im, k):
+        vf = make_victim_fn(model, variables)
+        return batched_optimize_shadow(vf, im, masks, targets, k, cfg).image
+
+    fn(variables, imgs, rng).block_until_ready()
+    flops = _compiled_flops(fn, variables, imgs, rng, trips=cfg.iterations)
     t0 = time.time()
-    out = fn(imgs * (1 + 1e-6), jax.random.fold_in(rng, 1))
+    out = fn(variables, imgs * (1 + 1e-6), jax.random.fold_in(rng, 1))
     np.asarray(out)
     dt = time.time() - t0
     return _result("vit-victim shadow attack throughput",
-                   batch / dt, "imgs/sec")
+                   batch / dt, "imgs/sec", flops=flops, seconds=dt)
 
 
 def config_mask_pipeline(small):
@@ -243,11 +292,26 @@ CONFIGS = {
 
 def main(argv=None):
     small = _setup()
-    names = (argv or sys.argv[1:]) or list(CONFIGS)
+    args = list(argv or sys.argv[1:])
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i: i + 2]
+    names = args or list(CONFIGS)
     results = {}
     for name in names:
         log(f"=== {name} ===")
         results[name] = CONFIGS[name](small)
+    if out_path:
+        merged = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                merged = json.load(f)
+        merged.update(results)
+        with open(out_path, "w") as f:
+            json.dump(merged, f, indent=2)
+        log(f"wrote {out_path}")
     return results
 
 
