@@ -176,20 +176,65 @@ def _attention_fwd(q, k, v, scale: float, use_pallas: bool):
     return _attention(q, k, v, scale, use_pallas), (q, k, v)
 
 
+#: largest [BH, T, T] f32 score temp the one-shot backward may allocate;
+#: beyond this the backward runs chunked over query blocks.  512 MB keeps
+#: the flagship cond-UNet train step (sa6: BH=256, T=4096 would need
+#: 3x16 GB one-shot — an instant HBM OOM on v5e) well inside HBM.
+_BWD_TEMP_BYTES = 512 * 1024 * 1024
+
+
 def _attention_bwd(scale: float, use_pallas: bool, res, g):
-    """Recompute-based backward in plain XLA (float32 accumulation)."""
+    """Recompute-based backward in plain XLA (float32 accumulation).
+
+    One-shot when the [BH, T, T] score temp is small; otherwise a
+    flash-style ``lax.scan`` over query blocks: each step recomputes its
+    [BH, cq, T] score slab, emits dq for the block, and accumulates
+    dk/dv — peak temp bounded by ``_BWD_TEMP_BYTES`` regardless of T.
+    """
     q, k, v = res
+    BH, T, d = q.shape
     qf = q.astype(jnp.float32) * scale
     kf = k.astype(jnp.float32) * scale
     vf = v.astype(jnp.float32)
     gf = g.astype(jnp.float32)
-    logits = jnp.einsum("btd,bsd->bts", qf, kf)
-    p = jax.nn.softmax(logits, axis=-1)
-    dv = jnp.einsum("bts,btd->bsd", p, gf)
-    dp = jnp.einsum("btd,bsd->bts", gf, vf)
-    dlogits = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-    dq = jnp.einsum("bts,bsd->btd", dlogits, kf) * scale
-    dk = jnp.einsum("bts,btd->bsd", dlogits, qf) * scale
+
+    if 4 * BH * T * T <= _BWD_TEMP_BYTES:
+        logits = jnp.einsum("btd,bsd->bts", qf, kf)
+        p = jax.nn.softmax(logits, axis=-1)
+        dv = jnp.einsum("bts,btd->bsd", p, gf)
+        dp = jnp.einsum("btd,bsd->bts", gf, vf)
+        dlogits = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dq = jnp.einsum("bts,bsd->btd", dlogits, kf) * scale
+        dk = jnp.einsum("bts,btd->bsd", dlogits, qf) * scale
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+    # ---- chunked: scan over query blocks -----------------------------
+    cq = max(_LANE, _BWD_TEMP_BYTES // (4 * BH * T) // _LANE * _LANE)
+    cq = min(cq, T)
+    t_pad = -(-T // cq) * cq
+    # zero-padded q rows give uniform softmax rows but a zero cotangent,
+    # so dlogits vanishes and they contribute nothing to dk/dv
+    qp = _pad_to(qf, 1, cq).reshape(BH, t_pad // cq, cq, d)
+    gp = _pad_to(gf, 1, cq).reshape(BH, t_pad // cq, cq, d)
+
+    def step(carry, xs):
+        dk_acc, dv_acc = carry
+        qc, gc = xs                                     # [BH, cq, d]
+        logits = jnp.einsum("bqd,bsd->bqs", qc, kf,
+                            preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(logits, axis=-1)
+        dv_acc = dv_acc + jnp.einsum("bqs,bqd->bsd", p, gc)
+        dp = jnp.einsum("bqd,bsd->bqs", gc, vf,
+                        preferred_element_type=jnp.float32)
+        dlogits = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+        dqc = jnp.einsum("bqs,bsd->bqd", dlogits, kf) * scale
+        dk_acc = dk_acc + jnp.einsum("bqs,bqd->bsd", dlogits, qc) * scale
+        return (dk_acc, dv_acc), dqc
+
+    (dk, dv), dqs = jax.lax.scan(
+        step, (jnp.zeros_like(kf), jnp.zeros_like(vf)),
+        (qp.transpose(1, 0, 2, 3), gp.transpose(1, 0, 2, 3)))
+    dq = dqs.transpose(1, 0, 2, 3).reshape(BH, t_pad, d)[:, :T]
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
 

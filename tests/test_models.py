@@ -193,6 +193,25 @@ class TestPallasKernelInterpret:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5)
 
+    def test_chunked_backward_matches_oneshot(self, monkeypatch):
+        """Above _BWD_TEMP_BYTES the custom-VJP backward scans over query
+        blocks (the flagship cond-UNet sa6 at T=4096 would otherwise
+        allocate 3x16 GB score temps and OOM a v5e).  The chunked path
+        must be bit-close to the one-shot math, including q-row padding
+        when T is not a block multiple."""
+        import advshadow_tpu.ops.attention as A
+
+        rng = jax.random.PRNGKey(3)
+        q, k, v, g = (jax.random.normal(jax.random.fold_in(rng, i),
+                                        (3, 200, 16)) for i in range(4))
+        scale = 0.5
+        full = A._attention_bwd(scale, False, (q, k, v), g)
+        monkeypatch.setattr(A, "_BWD_TEMP_BYTES", 4 * 3 * 200 * 64)
+        chunked = A._attention_bwd(scale, False, (q, k, v), g)
+        for a, b in zip(full, chunked):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
 
 class TestFusedGroupNorm:
     def test_matches_flax_groupnorm_silu(self):
