@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
                      help="feature extractor (InceptionV3 when ported)")
     fid.add_argument("--victim_ckpt", type=str, default=None)
     fid.add_argument("--image_size", type=int, default=224)
+    fid.add_argument("--num_classes", type=int, default=37,
+                     help="head size of the feature victim's checkpoint "
+                          "(features are pre-head, but flax checks shapes)")
     return p
 
 
@@ -90,7 +93,7 @@ def run_psnr_ssim(args) -> dict:
 
 
 def run_fid(args) -> dict:
-    model, variables, _ = _victim_fn(args.feature_victim, 37,
+    model, variables, _ = _victim_fn(args.feature_victim, args.num_classes,
                                      args.victim_ckpt, args.image_size)
 
     def feature_fn(x):

@@ -124,16 +124,42 @@ def train_shadow(args) -> dict:
     coeffs = make_diffusion(1000, args.noise_schedule)
     config = TrainConfig(lr=args.lr, optim=args.optim, lr_func=args.lr_func,
                          epochs=args.epochs, steps_per_epoch=steps_per_epoch,
-                         conditional=True, loss=getattr(args, "loss", "mse"))
+                         conditional=True, loss=getattr(args, "loss", "mse"),
+                         compute_dtype=jnp.bfloat16 if args.amp
+                         else jnp.float32)
     sample_x = jnp.zeros((args.batch_size, args.image_size, args.image_size, 3))
     sample_y = jnp.zeros((args.batch_size,), jnp.int32)
     state = create_train_state(model, rng, sample_x, config, labels=sample_y)
+
+    start_epoch = 0
+    if args.resume:
+        from advshadow_tpu.train import load_ckpt
+
+        last = f"{dirs['results_dir']}/ckpt_last"
+        target = {"model": state.params, "ema_model": state.ema_params,
+                  "optimizer": state.opt_state}
+        try:
+            tree = load_ckpt(last, target=target)
+        except ValueError:
+            # older checkpoints saved without the optimizer state
+            target.pop("optimizer")
+            tree = load_ckpt(last, target=target)
+        state = state.replace(params=tree["model"],
+                              ema_params=tree["ema_model"],
+                              opt_state=tree.get("optimizer",
+                                                 state.opt_state))
+        start_epoch = (args.start_epoch if args.start_epoch is not None
+                       else tree["metadata"].get("start_epoch", 0) + 1)
+        state = state.replace(step=jnp.asarray(
+            start_epoch * steps_per_epoch, state.step.dtype))
+        logger.info(f"resumed from epoch {start_epoch}")
+
     state = replicate(state, mesh)
     step_fn = make_train_step(coeffs, config, donate=True)
     sampler = make_sampler(args.sample)
 
     losses_hist = []
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         losses = []
         for batch in loader:
@@ -182,6 +208,7 @@ def train_shadow(args) -> dict:
                 dirs["results_dir"], epoch,
                 params=jax.device_get(state.params),
                 ema_params=jax.device_get(state.ema_params),
+                opt_state=jax.device_get(state.opt_state),
                 num_classes=num_classes, conditional=True,
                 image_size=args.image_size, sample=args.sample,
                 network=args.network, act=args.act,
