@@ -108,6 +108,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "'8,16,32,64,128,256' (unet/cspdarkunet)")
     p.add_argument("--model_channels", type=int, default=None,
                    help="base width override for the unet_ddpm family")
+    p.add_argument("--ckpt_every", type=int, default=1,
+                   help="save ckpt_last every N epochs (the final epoch "
+                        "always saves); >1 skips the per-epoch params "
+                        "device_get, which costs ~14s at flagship size "
+                        "through the remote-chip tunnel")
     return p
 
 
@@ -236,7 +241,8 @@ def train(args) -> dict:
                             f"{dirs['vis_dir']}/{args.run_name}-{epoch}{tag}."
                             f"{args.image_format}")
 
-        if jax.process_index() == 0:
+        if jax.process_index() == 0 and (
+                epoch % args.ckpt_every == 0 or epoch == args.epochs - 1):
             save_ckpt(
                 dirs["results_dir"], epoch,
                 params=jax.device_get(state.params),

@@ -203,7 +203,8 @@ def train_shadow(args) -> dict:
                         f"{dirs['vis_dir']}/{args.run_name}-{epoch}."
                         f"{args.image_format}")
 
-        if jax.process_index() == 0:
+        if jax.process_index() == 0 and (
+                epoch % args.ckpt_every == 0 or epoch == args.epochs - 1):
             save_ckpt(
                 dirs["results_dir"], epoch,
                 params=jax.device_get(state.params),

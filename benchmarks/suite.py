@@ -76,13 +76,28 @@ def _setup():
     return small
 
 
-def _victim(name, image_size, num_classes=37):
+def _victim(name, image_size, num_classes=37, ckpt=None):
     from advshadow_tpu.victims import make_victim_fn, make_victim_model
 
     model = make_victim_model(name, num_classes=num_classes)
-    variables = jax.jit(model.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3)))
+    if ckpt:
+        import pickle
+
+        with open(ckpt, "rb") as f:
+            variables = pickle.load(f)
+    else:
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3)))
     return make_victim_fn(model, variables)
+
+
+#: victim fine-tuned on the procedural dataset by
+#: examples/real_training_run.py — when present, the sweep measures real
+#: ASR/PSNR/SSIM/FID against a 97%-accurate classifier instead of noise
+_TRAINED_VICTIM = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "artifacts", "real_run", "victim_run", "victim64",
+    "victim_resnet18.pkl")
 
 
 def config_single_224(small):
@@ -249,11 +264,31 @@ def config_sweep(small):
 
     size = 32 if small else 64
     batch = 8 if small else 128
-    victim_fn = _victim("resnet18", size)
     rng = jax.random.PRNGKey(0)
-    imgs = jax.random.uniform(rng, (batch, size, size, 3))
-    masks = jnp.ones((batch, size, size))
-    targets = jnp.arange(batch, dtype=jnp.int32) % 37
+    trained = (not small) and os.path.exists(_TRAINED_VICTIM)
+    if trained:
+        # real regime: held-out procedural images + masks, true-label
+        # (non-targeted) attack against the fine-tuned victim
+        from advshadow_tpu.data.synthetic import CLASSES, render_sample
+
+        order = sorted(CLASSES)
+        ims, ms, lbl = [], [], []
+        for i in range(batch):
+            cls = order[i % len(order)]
+            img, mask = render_sample(cls, 5000 + i, size, seed=0)
+            ims.append(img / 255.0)
+            ms.append(mask / 255.0)
+            lbl.append(i % len(order))
+        imgs = jnp.asarray(np.stack(ims), jnp.float32)
+        masks = jnp.asarray(np.stack(ms), jnp.float32)
+        targets = jnp.asarray(lbl, jnp.int32)
+        victim_fn = _victim("resnet18", size, num_classes=len(order),
+                            ckpt=_TRAINED_VICTIM)
+    else:
+        imgs = jax.random.uniform(rng, (batch, size, size, 3))
+        masks = jnp.ones((batch, size, size))
+        targets = jnp.arange(batch, dtype=jnp.int32) % 37
+        victim_fn = _victim("resnet18", size)
 
     presets = {"eval": EVAL_CONFIG, "diff2": DIFF2_CONFIG,
                "train": TRAIN_CONFIG}
@@ -278,6 +313,11 @@ def config_sweep(small):
     dt = time.time() - t0
     out = _result("attack-config sweep wall time", dt, "sec")
     out["rows"] = rows
+    out["victim"] = "trained" if trained else "random"
+    if trained:
+        clean = compute_asr(victim_fn, imgs, targets)
+        out["clean_accuracy"] = round(clean["accuracy"], 3)
+        log(f"sweep victim: trained, clean acc {out['clean_accuracy']}")
     return out
 
 

@@ -261,12 +261,50 @@ def phase_eval(args) -> dict:
         ["fid", "--folder1", os.path.join(args.data_root, "train", "images"),
          "--folder2", flat_gen] + fid_common)
 
+    _gradcam_panel(args, eval_root, attacked, vckpt)
     _compress_ckpt(results_dir)
 
     with open(os.path.join(REPO, "TRAINED_r02.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics, indent=2))
     return metrics
+
+
+def _gradcam_panel(args, eval_root, attacked, vckpt, n: int = 6):
+    """clean | attacked | CAM(clean) | CAM(attacked) rows on the trained
+    victim — the reference's ddim2/test.py:502-549 visualization, here as
+    committed evidence that the attack moves the victim's attention."""
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from advshadow_tpu.eval.gradcam import grad_cam, make_resnet_cam_fn, \
+        show_cam_on_image
+    from advshadow_tpu.victims import make_victim_model
+
+    import pickle
+
+    model = make_victim_model("resnet18", num_classes=10)
+    with open(vckpt, "rb") as f:
+        variables = pickle.load(f)
+    cam_fn = make_resnet_cam_fn(model, variables)
+
+    names = sorted(os.listdir(attacked))[:: max(1, len(os.listdir(attacked))
+                                                // n)][:n]
+    rows = []
+    for nm in names:
+        clean = np.asarray(Image.open(
+            os.path.join(eval_root, "images", nm)).convert("RGB"),
+            np.float32) / 255.0
+        adv = np.asarray(Image.open(
+            os.path.join(attacked, nm)).convert("RGB"), np.float32) / 255.0
+        pair = jnp.asarray(np.stack([clean, adv]))
+        cams = grad_cam(cam_fn, pair)
+        tiles = [clean, adv,
+                 np.asarray(show_cam_on_image(pair[0], cams[0])),
+                 np.asarray(show_cam_on_image(pair[1], cams[1]))]
+        rows.append(np.concatenate(tiles, axis=1))
+    panel = (np.concatenate(rows, axis=0) * 255).astype(np.uint8)
+    Image.fromarray(panel).save(os.path.join(ART, "gradcam_panel.png"))
 
 
 def main(argv=None):
