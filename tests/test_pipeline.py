@@ -72,6 +72,27 @@ class TestTrainGeneratePipeline:
         meta = json.load(open(os.path.join(ckpt, "metadata.json")))
         assert meta["image_size"] == 16 and meta["conditional"] is True
 
+    def test_ckpt_every_gates_saves(self, dataset, tmp_path, monkeypatch):
+        """--ckpt_every N saves on gated epochs + the final epoch only."""
+        import advshadow_tpu.cli.train as train_cli
+
+        saved = []
+        real = train_cli.save_ckpt
+        monkeypatch.setattr(
+            train_cli, "save_ckpt",
+            lambda d, e, **kw: (saved.append(e), real(d, e, **kw))[1])
+        out = train_cli.main([
+            "--dataset_path", dataset,
+            "--result_path", str(tmp_path / "results"),
+            "--run_name", "ce", "--vis", "",
+            "--channels", "8,16,32,64,128,256", "--image_size", "16",
+            "--batch_size", "4", "--epochs", "4", "--ckpt_every", "3",
+        ])
+        assert saved == [0, 3]  # epoch 0 (gate) + final epoch
+        meta = json.load(open(os.path.join(
+            out["results_dir"], "ckpt_last", "metadata.json")))
+        assert meta["start_epoch"] == 3
+
     def test_resume(self, dataset, tmp_path):
         from advshadow_tpu.cli.train import main as train_main
 
