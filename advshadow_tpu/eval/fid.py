@@ -8,9 +8,10 @@ metric runs as matmuls on the MXU instead of scipy's host-side sqrtm.
 
 The feature extractor is injected (``feature_fn``), so FID can be
 computed against any embedding (a ported InceptionV3, a victim backbone,
-...).  With far fewer samples than feature dims the covariances are
-rank-deficient: the stabilized sqrtm stays finite but the regularization
-bias can dominate small true distances (clamped at 0) — like the
+...).  The cross term is computed spectrally (exact up to f32 eigh —
+no ridge bias; see :func:`advshadow_tpu.ops.sqrtm.trace_sqrtm_product`),
+so near-singular covariances are handled; with fewer samples than
+feature dims the *statistics* themselves are still noisy — like the
 reference's complex-sqrtm noise in that regime, use enough samples
 (N >= D) for meaningful values. Weight porting for torchvision InceptionV3 lives in
 :mod:`advshadow_tpu.victims.port`-style converters once weights are

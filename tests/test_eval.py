@@ -82,6 +82,26 @@ class TestFID:
         theirs = float(np.trace(scipy.linalg.sqrtm(s1 @ s2).real))
         assert ours == pytest.approx(theirs, rel=2e-3)
 
+    def test_trace_sqrtm_near_singular_covariances(self):
+        """Classifier-feature covariances are near-singular (low effective
+        rank at high dim).  The round-2 trained-pipeline eval caught the
+        old ridge-stabilized Newton-Schulz cross term inflating the trace
+        by ~n*sqrt(ridge) on exactly this regime, clamping real FIDs to 0
+        — this pins the spectral implementation against scipy f64."""
+        rng = np.random.default_rng(7)
+        d, k, n = 128, 6, 400  # 6 strong directions in 128 dims
+        basis = rng.standard_normal((k, d))
+        fa = rng.standard_normal((n, k)) @ basis \
+            + 0.01 * rng.standard_normal((n, d))
+        fb = rng.standard_normal((n, k)) @ (basis + 0.05) \
+            + 0.01 * rng.standard_normal((n, d))
+        s1 = np.cov(fa, rowvar=False).astype(np.float32)
+        s2 = np.cov(fb, rowvar=False).astype(np.float32)
+        ours = float(trace_sqrtm_product(jnp.asarray(s1), jnp.asarray(s2)))
+        theirs = float(np.trace(scipy.linalg.sqrtm(
+            s1.astype(np.float64) @ s2.astype(np.float64)).real))
+        assert ours == pytest.approx(theirs, rel=1e-2)
+
     def test_identical_sets_zero(self):
         f = jax.random.normal(jax.random.PRNGKey(0), (256, 32))
         assert abs(float(fid_from_features(f, f))) < 0.5
