@@ -17,10 +17,16 @@ Forward is Pallas (TPU) or plain XLA (everywhere else) via
 MEASURED (v5e, bf16 [512,64,64,64]): this whole-sample formulation runs
 72 ms vs XLA's 3.6 ms — XLA's two-pass GN is already near HBM bandwidth
 at these shapes, and a (B,)-grid single-block kernel pipelines poorly.
-``use_pallas=None`` therefore auto-selects the XLA path; the kernel is
-kept as the starting point for the round-2 producer-fused design (stats
-accumulated in the upstream conv's epilogue), which is where the real
-win is.
+``use_pallas=None`` therefore auto-selects the XLA path.
+
+CLOSED (round 2): a fresh xplane profile (`benchmarks/profile_sampler.py`)
+showed the premise was wrong — XLA *already* producer-fuses the GN
+statistics into the upstream convolutions (the `convert_reduce_fusion`
+ops emit (sum, sumsq, conv_out) tuples at 136-183 TF/s, compute-bound),
+so there is no separate stats pass to eliminate and no epilogue-fusion
+win available.  The kernel stays as a tested negative result; the
+measured sampler wins came from attention routing (`ops/attention.py`)
+and the subpixel upsample-conv (`ops/upsample.py`) instead.
 """
 
 from __future__ import annotations
