@@ -201,7 +201,9 @@ def phase_eval(args) -> dict:
     # conditional sample grid from the trained checkpoint: one row per
     # class, gen_per_class columns (samples also land as singles for FID)
     gen_root = os.path.join(args.data_root, "generated")
-    n_cls, per_cls = 10, (2 if args.smoke else 10)
+    # 64/class = 640 generated images > 512 feature dims so the
+    # generated-vs-train FID leaves the rank-deficient clamp regime
+    n_cls, per_cls = 10, (2 if args.smoke else 64)
     steps = 10 if args.smoke else 100
     rows = []
     for c in range(n_cls):
@@ -213,7 +215,7 @@ def phase_eval(args) -> dict:
             "--sample_steps", str(steps),
             "--use_ema", "1", "--seed", str(args.seed + c),
         ])
-        rows.append(np.concatenate(list(np.asarray(imgs)), axis=1))
+        rows.append(np.concatenate(list(np.asarray(imgs))[:10], axis=1))
     from PIL import Image
 
     Image.fromarray(np.concatenate(rows, axis=0)).save(
@@ -261,6 +263,13 @@ def phase_eval(args) -> dict:
         ["fid", "--folder1", os.path.join(args.data_root, "train", "images"),
          "--folder2", flat_gen] + fid_common)
 
+    # class-conditioning check: victim accuracy on the generated images
+    # (well above 1/num_classes chance = conditioning works; depressed
+    # below clean accuracy = the model generates adversarial shadows,
+    # which is the paper's objective)
+    metrics["victim_accuracy_on_generated"] = _generated_accuracy(
+        flat_gen, vckpt)
+
     _gradcam_panel(args, eval_root, attacked, vckpt)
     _compress_ckpt(results_dir)
 
@@ -268,6 +277,38 @@ def phase_eval(args) -> dict:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics, indent=2))
     return metrics
+
+
+def _generated_accuracy(flat_gen: str, vckpt: str) -> dict:
+    """Victim accuracy on generated singles named ``g<class>_<i>.png``."""
+    import re
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from advshadow_tpu.eval import compute_asr
+    from advshadow_tpu.victims import make_victim_fn, make_victim_model
+
+    ims, lbl = [], []
+    for fn in sorted(os.listdir(flat_gen)):
+        m = re.match(r"g(\d+)_\d+\.png", fn)
+        if not m:
+            continue
+        ims.append(np.asarray(
+            Image.open(os.path.join(flat_gen, fn)).convert("RGB"),
+            np.float32) / 255.0)
+        lbl.append(int(m.group(1)))
+    model = make_victim_model("resnet18", num_classes=10)
+    with open(vckpt, "rb") as f:
+        variables = pickle.load(f)
+    vf = make_victim_fn(model, variables)
+    imgs = jnp.asarray(np.stack(ims))
+    targets = jnp.asarray(lbl, jnp.int32)
+    total = 0.0
+    for i in range(0, len(lbl), 64):
+        total += compute_asr(vf, imgs[i: i + 64], targets[i: i + 64])[
+            "accuracy"] * min(64, len(lbl) - i)
+    return {"accuracy": total / len(lbl), "n": len(lbl), "chance": 0.1}
 
 
 def _gradcam_panel(args, eval_root, attacked, vckpt, n: int = 6):
