@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from advshadow_tpu.utils.choices import str2bool
 from advshadow_tpu.attack import (
     DIFF2_CONFIG,
     EVAL_CONFIG,
@@ -58,11 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--targeted", type=bool, default=False,
+    p.add_argument("--targeted", type=str2bool, default=False,
                    help="shadow: random wrong target label per image")
     p.add_argument("--preset", type=str, default="eval",
                    choices=sorted(PRESETS))
-    p.add_argument("--soft_mask", type=bool, default=True)
+    p.add_argument("--soft_mask", type=str2bool, default=True)
     # baseline attack knobs (ref adv_test.py:106-109)
     p.add_argument("--epsilon", type=float, default=0.05)
     p.add_argument("--alpha", type=float, default=0.05)

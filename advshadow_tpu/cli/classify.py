@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
+from advshadow_tpu.utils.choices import str2bool
 from advshadow_tpu.eval import grad_cam, make_resnet_cam_fn, show_cam_on_image
 from advshadow_tpu.utils import get_logger
 from advshadow_tpu.victims import OXFORD_PET_CLASSES, load_id2label, \
@@ -36,7 +37,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_classes", type=int, default=37)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--label_json", type=str, default=None)
-    p.add_argument("--gradcam", type=bool, default=False,
+    p.add_argument("--gradcam", type=str2bool, default=False,
                    help="save heatmap overlays (ResNet victims)")
     p.add_argument("--output_path", type=str, default=None)
     return p

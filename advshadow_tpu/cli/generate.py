@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from advshadow_tpu.utils.choices import str2bool
 from advshadow_tpu.core import make_diffusion
 from advshadow_tpu.models import make_network
 from advshadow_tpu.ops.image import to_uint8
@@ -40,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--result_path", type=str, default="./generate_results")
     p.add_argument("--sample", type=str, default=None,
                    choices=choices.sample_choices + [None])
-    p.add_argument("--use_ema", type=bool, default=False)
+    p.add_argument("--use_ema", type=str2bool, default=False)
     p.add_argument("--cfg_scale", type=int, default=3)
     p.add_argument("--class_name", type=int, default=-1,
                    help="-1 = one image per class (ref tools/generate.py:71-74)")

@@ -5,6 +5,7 @@ from __future__ import annotations
 import argparse
 import sys
 
+from advshadow_tpu.utils.choices import str2bool
 from advshadow_tpu.masks import extract_and_save_masks
 from advshadow_tpu.utils import get_logger
 
@@ -30,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--confidence_threshold", type=float, default=0.7)
     p.add_argument("--mask_threshold", type=float, default=0.3)
     p.add_argument("--grabcut_iter", type=int, default=10)
-    p.add_argument("--use_gpu", type=bool, default=False)
+    p.add_argument("--use_gpu", type=str2bool, default=False)
     return p
 
 

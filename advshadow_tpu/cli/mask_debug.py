@@ -22,6 +22,7 @@ import sys
 
 import numpy as np
 
+from advshadow_tpu.utils.choices import str2bool
 from advshadow_tpu.masks.extract import (
     combine_detection_masks,
     grabcut_refine,
@@ -54,7 +55,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resize_width", type=int, default=600)
     p.add_argument("--grabcut_backend", type=str, default="native",
                    choices=["native", "cv2"])
-    p.add_argument("--show", type=bool, default=False,
+    p.add_argument("--show", type=str2bool, default=False,
                    help="also cv2.imshow each stage (needs a display; "
                         "matches the reference's window loop)")
     return p

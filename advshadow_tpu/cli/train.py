@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from advshadow_tpu.utils.choices import str2bool
 from advshadow_tpu.core import make_diffusion
 from advshadow_tpu.data import BatchLoader, ImageFolderDataset
 from advshadow_tpu.models import make_network
@@ -55,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     """Flag surface of ref: tools/train.py:297-395."""
     p = argparse.ArgumentParser(description="AdvShadow-TPU diffusion trainer")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--conditional", type=bool, default=True)
+    p.add_argument("--conditional", type=str2bool, default=True)
     p.add_argument("--sample", type=str, default="ddpm",
                    choices=choices.sample_choices)
     p.add_argument("--network", type=str, default="unet",
@@ -66,7 +67,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_workers", type=int, default=0)
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--dataset_path", type=str, required=True)
-    p.add_argument("--amp", type=bool, default=False,
+    p.add_argument("--amp", type=str2bool, default=False,
                    help="bf16 compute (TPU-native AMP equivalent)")
     p.add_argument("--optim", type=str, default="adamw",
                    choices=choices.optim_choices)
@@ -78,31 +79,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr_func", type=str, default="linear",
                    choices=choices.lr_func_choices)
     p.add_argument("--result_path", type=str, default="./results")
-    p.add_argument("--save_model_interval", type=bool, default=False)
+    p.add_argument("--save_model_interval", type=str2bool, default=False)
     p.add_argument("--start_model_interval", type=int, default=-1)
-    p.add_argument("--vis", type=bool, default=True)
+    p.add_argument("--vis", type=str2bool, default=True)
     p.add_argument("--num_vis", type=int, default=-1)
     p.add_argument("--image_format", type=str, default="png",
                    choices=choices.image_format_choices)
     p.add_argument("--noise_schedule", type=str, default="framework_linear",
                    choices=choices.noise_schedule_choices)
-    p.add_argument("--resume", type=bool, default=False)
+    p.add_argument("--resume", type=str2bool, default=False)
     p.add_argument("--start_epoch", type=int, default=None)
-    p.add_argument("--pretrain", type=bool, default=False)
+    p.add_argument("--pretrain", type=str2bool, default=False)
     p.add_argument("--pretrain_path", type=str, default=None)
     p.add_argument("--cfg_scale", type=int, default=3)
     p.add_argument("--num_classes", type=int, default=37)
     # surface-compat distributed flags (SPMD needs no spawning)
-    p.add_argument("--distributed", type=bool, default=False)
+    p.add_argument("--distributed", type=str2bool, default=False)
     p.add_argument("--main_gpu", type=int, default=0)
     p.add_argument("--world_size", type=int, default=1)
     p.add_argument("--use_gpu", type=int, default=0)
     p.add_argument("--coordinator", type=str, default=None)
     p.add_argument("--process_id", type=int, default=0)
-    p.add_argument("--profile", type=bool, default=False,
+    p.add_argument("--profile", type=str2bool, default=False,
                    help="write a jax.profiler trace for epoch 0 into the "
                         "run's tensorboard dir")
-    p.add_argument("--debug_nans", type=bool, default=False)
+    p.add_argument("--debug_nans", type=str2bool, default=False)
     p.add_argument("--channels", type=str, default=None,
                    help="comma-separated channel list override, e.g. "
                         "'8,16,32,64,128,256' (unet/cspdarkunet)")
@@ -181,8 +182,13 @@ def train(args) -> dict:
         state = state.replace(params=tree["model"],
                               ema_params=tree["ema_model"],
                               opt_state=tree["optimizer"])
+        # metadata start_epoch records the epoch that FINISHED; resume at
+        # the next one (same semantics as cli/train_shadow.py), and restore
+        # the step counter so the EMA warmup threshold is not re-triggered.
         start_epoch = (args.start_epoch if args.start_epoch is not None
-                       else tree["metadata"].get("start_epoch", 0))
+                       else tree["metadata"].get("start_epoch", 0) + 1)
+        state = state.replace(step=jnp.asarray(
+            start_epoch * steps_per_epoch, state.step.dtype))
         logger.info(f"resumed from epoch {start_epoch}")
     elif args.pretrain and args.pretrain_path:
         tree = load_ckpt(args.pretrain_path)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from advshadow_tpu.utils.choices import str2bool
 from advshadow_tpu.attack import TRAIN_CONFIG, ShadowOptConfig, \
     batched_optimize_shadow
 from advshadow_tpu.cli.train import build_parser as build_train_parser
@@ -51,13 +52,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--victim", type=str, default="resnet18")
     p.add_argument("--victim_ckpt", type=str, default=None,
                    help="npz of ported victim variables")
-    p.add_argument("--targeted", type=bool, default=True)
+    p.add_argument("--targeted", type=str2bool, default=True)
     p.add_argument("--shadow_intensity", type=float, default=0.43)
     p.add_argument("--shadow_iterations", type=int, default=1)
     p.add_argument("--attack_epsilon", type=float, default=0.05)
     p.add_argument("--attack_alpha", type=float, default=0.005)
     p.add_argument("--attack_iterations", type=int, default=20)
-    p.add_argument("--soft_mask", type=bool, default=True)
+    p.add_argument("--soft_mask", type=str2bool, default=True)
     return p
 
 

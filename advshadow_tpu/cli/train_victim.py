@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from advshadow_tpu.utils.choices import str2bool
 from advshadow_tpu.data import BatchLoader, ImageFolderDataset
 from advshadow_tpu.parallel import make_mesh, replicate, shard_batch
 from advshadow_tpu.utils import append_args_log, get_logger, \
@@ -47,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--init_ckpt", type=str, default=None,
                    help="pickle of ported variables to start from")
-    p.add_argument("--head_only", type=bool, default=False,
+    p.add_argument("--head_only", type=str2bool, default=False,
                    help="linear probe: train only Dense layers")
     p.add_argument("--result_path", type=str, default="./results")
     p.add_argument("--run_name", type=str, default="victim")

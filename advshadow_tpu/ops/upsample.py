@@ -51,10 +51,14 @@ def upsample2x_conv3x3_dilated(
     r = jnp.stack([w[0], w[0] + w[1], w[1] + w[2], w[2]], axis=0)  # [4,3,..]
     k4 = jnp.stack([r[:, 0], r[:, 0] + r[:, 1], r[:, 1] + r[:, 2], r[:, 2]],
                    axis=1)                                         # [4,4,..]
-    if dtype is not None:
-        x = x.astype(dtype)
-        k4 = k4.astype(dtype)
-        bias = bias.astype(dtype) if bias is not None else None
+    if dtype is None:
+        # nn.Conv(dtype=None) promotes operands to a common dtype; the raw
+        # lax conv instead *requires* matching dtypes — promote explicitly
+        # so bf16 activations with f32 params stay valid here too.
+        dtype = jnp.result_type(x.dtype, kernel.dtype)
+    x = x.astype(dtype)
+    k4 = k4.astype(dtype)
+    bias = bias.astype(dtype) if bias is not None else None
     dn = jax.lax.conv_dimension_numbers(x.shape, k4.shape,
                                         ("NHWC", "HWIO", "NHWC"))
     y = jax.lax.conv_general_dilated(
@@ -95,10 +99,11 @@ def upsample2x_conv3x3(
     """
     B, H, W, _ = x.shape
     phases = _phase_kernels(kernel)
-    if dtype is not None:
-        x = x.astype(dtype)
-        phases = {k: v.astype(dtype) for k, v in phases.items()}
-        bias = bias.astype(dtype) if bias is not None else None
+    if dtype is None:
+        dtype = jnp.result_type(x.dtype, kernel.dtype)  # nn.Conv promotion
+    x = x.astype(dtype)
+    phases = {k: v.astype(dtype) for k, v in phases.items()}
+    bias = bias.astype(dtype) if bias is not None else None
 
     dn = jax.lax.conv_dimension_numbers(
         x.shape, phases[(0, 0)].shape, ("NHWC", "HWIO", "NHWC"))

@@ -24,9 +24,24 @@ noise_schedule_choices = ["linear", "cosine", "framework_linear",
                           "framework_cosine", "sqrt_linear", "sqrt"]
 parallel_choices = ["dp"]  # tp/pp hooks exist on the mesh; dp is wired
 
+
+def str2bool(v) -> bool:
+    """argparse ``type=`` for boolean flags.
+
+    The reference uses ``type=bool`` throughout (ref: tools/train.py:305,
+    332, 369, ...), where any non-empty string — including ``"False"`` and
+    ``"0"`` — parses as True.  This keeps the same flag surface
+    (``--vis ""`` disables, ``--resume 1`` enables) but makes the obvious
+    spellings ``False``/``0``/``no`` actually mean False.
+    """
+    if isinstance(v, bool):
+        return v
+    return str(v).strip().lower() not in ("", "0", "false", "no", "none", "f", "n")
+
+
 __all__ = [
     "bool_choices", "sample_choices", "network_choices",
     "sr_network_choices", "optim_choices", "loss_choices", "act_choices",
     "lr_func_choices", "image_format_choices", "noise_schedule_choices",
-    "parallel_choices",
+    "parallel_choices", "str2bool",
 ]

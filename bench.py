@@ -127,21 +127,21 @@ def main():
     # trip counts): sampler body x steps + attack body x outer iterations.
     # IMPORTANT: analyze the SAME jitted executables the timed loop runs —
     # extra compiled programs thrash the relay's program cache.
-    def _flops(jitted, *args, trips=1):
-        try:
-            cost = jitted.lower(*args).compile().cost_analysis()
-            if isinstance(cost, list):
-                cost = cost[0]
-            return float(cost.get("flops", 0.0)) * trips
-        except Exception:
-            return 0.0
+    from benchmarks.suite import _compiled_flops as _flops
 
     imgs01 = (jnp.clip(imgs, -1, 1) + 1) / 2
-    total_flops = (
-        _flops(generate, jax.random.PRNGKey(2), trips=ddim_steps)
-        + _flops(batched_optimize_shadow, victim_fn, imgs01, masks, targets,
-                 jax.random.PRNGKey(3), attack_cfg,
-                 trips=attack_cfg.iterations))
+    gen_flops = _flops(generate, jax.random.PRNGKey(2), trips=ddim_steps)
+    atk_flops = _flops(batched_optimize_shadow, victim_fn, imgs01, masks,
+                       targets, jax.random.PRNGKey(3), attack_cfg,
+                       trips=attack_cfg.iterations)
+    if not (gen_flops and atk_flops):
+        # a phase whose cost analysis failed would silently under-count
+        # MFU — drop the FLOP fields rather than report a wrong number
+        log(f"WARNING: cost analysis incomplete (generate={gen_flops:.3g}, "
+            f"attack={atk_flops:.3g}); omitting TFLOP/MFU fields")
+        total_flops = 0.0
+    else:
+        total_flops = gen_flops + atk_flops
 
     # timed end-to-end runs
     reps = 2 if small else 3

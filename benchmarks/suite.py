@@ -156,23 +156,27 @@ def config_batch64(small):
     victim_fn = _victim("resnet18", size)
     masks = jnp.ones((batch, size, size))
 
+    # two jit regions (generation, attack) — measured identical to a fused
+    # pipeline (bench.py), and the FLOP analysis below then runs on the
+    # SAME compiled executables the timed loop uses (no extra remote
+    # compiles thrashing the relay's program cache).
+    gen_fn = jax.jit(lambda key: ddim_sample(
+        coeffs, denoise, key, (batch, size, size, 3), ddim_timesteps=steps))
+
     @jax.jit
-    def one_batch(key):
-        imgs = ddim_sample(coeffs, denoise, key, (batch, size, size, 3),
-                           ddim_timesteps=steps)
+    def atk_fn(imgs, key):
         imgs01 = (jnp.clip(imgs, -1, 1) + 1) / 2
         return batched_optimize_shadow(victim_fn, imgs01, masks,
                                        (y + 1) % 37, key, cfg).image
 
-    one_batch(jax.random.PRNGKey(1)).block_until_ready()  # compile
+    def one_batch(key):
+        return atk_fn(gen_fn(key), key)
+
+    warm = one_batch(jax.random.PRNGKey(1))
+    warm.block_until_ready()  # compile
     # per-batch flops: sampler body x steps + attack body x outer iters
-    gen_fn = jax.jit(lambda key: ddim_sample(
-        coeffs, denoise, key, (batch, size, size, 3), ddim_timesteps=steps))
-    atk_fn = jax.jit(lambda key: batched_optimize_shadow(
-        victim_fn, jnp.zeros((batch, size, size, 3)), masks, (y + 1) % 37,
-        key, cfg).image)
     flops = (_compiled_flops(gen_fn, rng, trips=steps)
-             + _compiled_flops(atk_fn, rng, trips=cfg.iterations))
+             + _compiled_flops(atk_fn, warm, rng, trips=cfg.iterations))
     n_batches = subset // batch
     t0 = time.time()
     attacked = []
@@ -336,6 +340,8 @@ def main(argv=None):
     out_path = None
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            sys.exit("--out requires a path argument")
         out_path = args[i + 1]
         del args[i: i + 2]
     names = args or list(CONFIGS)

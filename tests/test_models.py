@@ -168,6 +168,24 @@ class TestSubpixelUpsample:
         np.testing.assert_allclose(np.asarray(y_fast), np.asarray(y_ref),
                                    atol=1e-5)
 
+    def test_dtype_none_promotes_bf16_input(self):
+        """dtype=None with bf16 activations and f32 params must promote
+        like nn.Conv (raw lax convs require matching operand dtypes)."""
+        from advshadow_tpu.models.layers import Upsample
+
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((1, 4, 4, 8)),
+            jnp.bfloat16)
+        for dilated in (True, False):
+            m = Upsample(subpixel=True, dilated=dilated, dtype=None)
+            params = m.init(jax.random.PRNGKey(0), x)
+            y = m.apply(params, x)  # previously raised a dtype mismatch
+            ref = Upsample(subpixel=False, dtype=None).apply(params, x)
+            assert y.shape == (1, 8, 8, 8) and y.dtype == ref.dtype
+            np.testing.assert_allclose(
+                np.asarray(y, np.float32), np.asarray(ref, np.float32),
+                atol=3e-2)
+
 
 class TestPallasKernelInterpret:
     def test_kernel_matches_reference_in_interpret_mode(self):

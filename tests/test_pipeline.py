@@ -103,6 +103,36 @@ class TestTrainGeneratePipeline:
         out = train_main(args + ["--resume", "1", "--start_epoch", "1"])
         assert len(out["loss"]) == 1  # epochs 1..2
 
+    def test_resume_default_skips_finished_epoch(self, dataset, tmp_path):
+        """metadata start_epoch records the epoch that FINISHED; a resume
+        without --start_epoch must continue at the NEXT epoch (same
+        semantics as train_shadow), not re-train the completed one."""
+        from advshadow_tpu.cli.train import main as train_main
+
+        result_path = str(tmp_path / "results")
+        args = ["--dataset_path", dataset, "--result_path", result_path,
+                "--run_name", "rd", "--vis", "", *TINY]
+        train_main(args)  # epochs 0..1; ckpt_last metadata start_epoch == 1
+        done = train_main(args[:-1] + ["3", "--resume", "1"])
+        assert len(done["loss"]) == 1  # exactly epoch 2
+        meta = json.load(open(os.path.join(
+            done["results_dir"], "ckpt_last", "metadata.json")))
+        assert meta["start_epoch"] == 2
+
+    def test_str2bool_flag_spellings(self):
+        """'False'/'0'/'' disable, '1'/'true' enable (ref mirrors
+        type=bool, where bool('False') is True — fixed here)."""
+        from advshadow_tpu.cli.train import build_parser
+
+        p = build_parser()
+        base = ["--dataset_path", "x"]
+        assert p.parse_args(base + ["--resume", "False"]).resume is False
+        assert p.parse_args(base + ["--amp", "0"]).amp is False
+        assert p.parse_args(base + ["--vis", ""]).vis is False
+        assert p.parse_args(base + ["--resume", "1"]).resume is True
+        assert p.parse_args(base + ["--amp", "true"]).amp is True
+        assert p.parse_args(base).conditional is True  # defaults intact
+
 
 class TestShadowTrainPipeline:
     def test_shadow_train_smoke(self, shadow_dataset, tmp_path):
