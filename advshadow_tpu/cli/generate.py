@@ -86,7 +86,7 @@ def generate(args) -> np.ndarray:
     denoise = make_denoise_fn(model.apply, params, labels, cfg_scale)
     sampler = make_sampler(sample)
     kwargs = {}
-    if args.sample_steps and sample in ("ddim", "plms"):
+    if args.sample_steps and sample in ("ddim", "plms", "dpmpp"):
         kwargs["sample_steps"] = args.sample_steps
     if sample == "plms" and conditional:
         # the reference's PLMS bootstrap forward skips CFG

@@ -8,14 +8,17 @@ from advshadow_tpu.samplers.ddim import (
     ddim_timestep_sequence,
 )
 from advshadow_tpu.samplers.ddpm import ddpm_sample, p_sample_loop
+from advshadow_tpu.samplers.dpm import dpmpp2m_sample
 from advshadow_tpu.samplers.plms import plms_sample
 
 #: Sampler registry — the working equivalent of the reference's missing
-#: ``config.choices`` sampler list (ref: utils/initializer.py:158-175).
+#: ``config.choices`` sampler list (ref: utils/initializer.py:158-175),
+#: plus the beyond-reference DPM-Solver++(2M) fast sampler.
 SAMPLERS = {
     "ddpm": ddpm_sample,
     "ddim": ddim_sample_framework,
     "plms": plms_sample,
+    "dpmpp": dpmpp2m_sample,
 }
 
 
@@ -33,6 +36,7 @@ __all__ = [
     "ddim_sample_framework",
     "ddim_timestep_sequence",
     "ddpm_sample",
+    "dpmpp2m_sample",
     "p_sample_loop",
     "plms_sample",
     "SAMPLERS",

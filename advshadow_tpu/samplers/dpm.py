@@ -1,0 +1,110 @@
+"""DPM-Solver++(2M) — fast deterministic sampler (beyond-reference).
+
+The reference ships DDPM / DDIM / PLMS (ref: model/samples/, and the
+hand-rolled ``ddim_sample`` at diff_model.py:416-474).  This module adds
+the second-order multistep DPM-Solver++ (Lu et al. 2022, 2211.01095) in
+the data-prediction ("++") form, which reaches DDIM-50 sample quality in
+~15-25 denoiser calls — a direct throughput multiplier for the shadowed
+image generation pipeline, since sampling is the dominant phase on v5e
+(bench.py: generate ~103 imgs/s vs attack ~313 imgs/s at batch 256).
+
+TPU-native shape: one ``lax.scan`` over per-step coefficient tables
+precomputed in float64 on host (same policy as core/schedules.py), the
+eps->x0 conversion and the 2M update fused into the scan body; no
+per-step host syncs and no data-dependent control flow (the first-order
+bootstrap step is the same update with the D1 correction coefficient set
+to zero, so the scan body is branch-free).
+
+Update rule (data prediction, multistep 2M), with
+``lambda = log(alpha/sigma)``, ``h_i = lambda_i - lambda_{i-1}``:
+
+  D_bar_i = (1 + c_i) x0_i - c_i x0_{i-1},   c_i = h_i / (2 h_{i-1})
+  x_i = (sigma_i/sigma_{i-1}) x_{i-1} - alpha_i expm1(-h_i) D_bar_i
+
+(c_1 = 0 recovers the first-order DDIM-like bootstrap step.)
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from advshadow_tpu.core.diffusion import DiffusionCoefficients
+from advshadow_tpu.samplers.base import DenoiseFn
+from advshadow_tpu.samplers.ddim import ddim_timestep_sequence
+
+__all__ = ["dpmpp2m_sample", "dpmpp2m_tables"]
+
+
+def dpmpp2m_tables(
+    alphas_cumprod: np.ndarray, timesteps: int, sample_steps: int,
+    method: str = "uniform",
+):
+    """Host-side f64 per-step coefficient tables for the 2M scan.
+
+    Returns int32 ``t`` (denoiser conditioning per step, high -> low) and
+    f32 ``alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c`` arrays of
+    length ``sample_steps`` (boundary grid is the DDIM uniform/quad
+    stride plus a terminal t=0).
+    """
+    seq = ddim_timestep_sequence(timesteps, sample_steps, method)
+    times = np.concatenate([seq[::-1], [0]]).astype(np.int64)  # N+1 bounds
+    abar = np.asarray(alphas_cumprod, np.float64)[times]
+    alpha = np.sqrt(abar)
+    sigma = np.sqrt(1.0 - abar)
+    lam = np.log(alpha / sigma)
+    h = np.diff(lam)  # length N, > 0 (lambda grows toward clean data)
+    c = np.zeros_like(h)
+    c[1:] = h[1:] / (2.0 * h[:-1])
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+    return (
+        jnp.asarray(times[:-1], jnp.int32),
+        f32(alpha[:-1]),
+        f32(sigma[:-1]),
+        f32(sigma[1:] / sigma[:-1]),
+        f32(alpha[1:] * np.expm1(-h)),
+        f32(c),
+    )
+
+
+def dpmpp2m_sample(
+    coeffs: DiffusionCoefficients,
+    denoise_fn: DenoiseFn,
+    rng: jax.Array,
+    shape: Sequence[int],
+    sample_steps: int = 20,
+    method: str = "uniform",
+    clip_denoised: bool = True,
+    x_init: jax.Array | None = None,
+) -> jax.Array:
+    """Sample with DPM-Solver++(2M). Returns x in [-1, 1] space.
+
+    ``sample_steps`` is the number of denoiser calls (15-25 typical).
+    ``x_init`` overrides the PRNG initial draw (parity/eval hook).
+    """
+    ts, alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c = dpmpp2m_tables(
+        np.asarray(coeffs.alphas_cumprod), coeffs.num_timesteps,
+        sample_steps, method)
+
+    n = shape[0]
+    x0 = x_init if x_init is not None else jax.random.normal(
+        rng, tuple(shape), dtype=jnp.float32)
+
+    def step(carry, inp):
+        x, d_prev = carry
+        t, a_t, s_t, s_ratio, a_phi, ci = inp
+        eps = denoise_fn(x, jnp.full((n,), t, dtype=jnp.int32))
+        d = (x - s_t * eps) / a_t
+        if clip_denoised:
+            d = jnp.clip(d, -1.0, 1.0)
+        d_bar = (1.0 + ci) * d - ci * d_prev  # ci=0 on the bootstrap step
+        x = s_ratio * x - a_phi * d_bar
+        return (x, d), None
+
+    (x, _), _ = jax.lax.scan(
+        step, (x0, jnp.zeros_like(x0)),
+        (ts, alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c))
+    return x

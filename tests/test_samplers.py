@@ -154,6 +154,77 @@ class TestClosedForm:
         assert float(jnp.mean(jnp.abs(out - x_star))) < 0.15
 
 
+class TestDPMSolverPP:
+    def test_oracle_closed_form(self):
+        """With a perfect point-mass x0-oracle the 2M update collapses to
+        the exact linear recursion x_i - a_i x* = (s_i/s_{i-1})(x_{i-1} -
+        a_{i-1} x*), so the output equals a_0 x* + (s_0/s_T) (x_init -
+        a_T x*) in closed form (and ~x* since s_0/s_T ~ 1e-2)."""
+        from advshadow_tpu.samplers import dpmpp2m_sample
+        from advshadow_tpu.samplers.dpm import dpmpp2m_tables
+
+        coeffs = make_diffusion(1000, "linear")
+        x_star = jnp.full(SHAPE, 0.37)
+        fn = oracle_denoiser(coeffs, x_star)
+        x_init = jax.random.normal(jax.random.PRNGKey(3), SHAPE)
+        out = dpmpp2m_sample(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                             sample_steps=20, x_init=x_init,
+                             clip_denoised=False)
+        abar = np.asarray(coeffs.alphas_cumprod, np.float64)
+        seq = ddim_timestep_sequence(1000, 20)
+        aT, sT = np.sqrt(abar[seq[-1]]), np.sqrt(1 - abar[seq[-1]])
+        a0, s0 = np.sqrt(abar[0]), np.sqrt(1 - abar[0])
+        expected = a0 * np.asarray(x_star) + (s0 / sT) * (
+            np.asarray(x_init) - aT * np.asarray(x_star))
+        np.testing.assert_allclose(np.asarray(out), expected, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x_star),
+                                   atol=5e-2)
+
+    def test_second_order_beats_ddim_at_equal_steps(self):
+        """On a smooth nonlinear denoiser (x0_pred = tanh(x)), 20-step
+        DPM-Solver++(2M) must track the fine-step ODE solution closer
+        than 20-step DDIM does (the whole point of the 2nd order)."""
+        from advshadow_tpu.samplers import dpmpp2m_sample
+
+        coeffs = make_diffusion(1000, "linear")
+
+        def fn(x, t):
+            abar = coeffs.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+            return (x - jnp.sqrt(abar) * jnp.tanh(x)) / jnp.sqrt(1 - abar)
+
+        x_init = jax.random.normal(jax.random.PRNGKey(7), SHAPE)
+        kw = dict(x_init=x_init, clip_denoised=False)
+        truth = dpmpp2m_sample(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                               sample_steps=400, **kw)
+        fast = dpmpp2m_sample(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                              sample_steps=20, **kw)
+        ddim20 = ddim_sample(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                             ddim_timesteps=20, **kw)
+        err_fast = float(jnp.mean(jnp.abs(fast - truth)))
+        err_ddim = float(jnp.mean(jnp.abs(ddim20 - truth)))
+        assert err_fast < err_ddim / 2, (err_fast, err_ddim)
+        assert err_fast < 3e-2  # measured ~0.022 at 20 steps
+
+    def test_registry_and_cfg_path(self):
+        """'dpmpp' resolves from the registry and runs under the fused-CFG
+        denoise closure (2N batch) without shape issues."""
+        from advshadow_tpu.samplers import make_sampler
+
+        coeffs = make_diffusion(100, "linear")
+        calls = []
+
+        def apply_fn(params, x, t, y=None):
+            calls.append(x.shape[0])
+            return 0.05 * x
+
+        labels = jnp.zeros((SHAPE[0],), jnp.int32)
+        denoise = make_denoise_fn(apply_fn, None, labels, 3.0)
+        out = make_sampler("dpmpp")(coeffs, denoise, jax.random.PRNGKey(0),
+                                    SHAPE, sample_steps=5)
+        assert out.shape == SHAPE and np.isfinite(np.asarray(out)).all()
+        assert set(calls) == {2 * SHAPE[0]}  # fused CFG forward each step
+
+
 class TestCFG:
     def test_fused_cfg_equals_two_forwards(self):
         calls = []
