@@ -82,7 +82,7 @@ def default_generate_fn(request: Dict) -> Dict:
     denoise = make_denoise_fn(model.apply, params, labels, cfg_scale)
     sampler = make_sampler(sample)
     kwargs = {}
-    if request.get("sample_steps") and sample in ("ddim", "plms"):
+    if request.get("sample_steps") and sample in ("ddim", "plms", "dpmpp"):
         kwargs["sample_steps"] = int(request["sample_steps"])
     if sample == "plms" and conditional:
         kwargs["boot_denoise_fn"] = make_denoise_fn(model.apply, params,

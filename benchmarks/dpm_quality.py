@@ -1,0 +1,119 @@
+"""DPM-Solver++(2M) vs DDIM on the TRAINED flagship model.
+
+The reference's generation headline is DDIM-50 (ref: diff_model.py:423).
+This script measures, on the trained 64 px shadow-diffusion checkpoint
+(artifacts/real_run), what the second-order solver buys: per-sampler
+generated-vs-train FID (trained-victim features), victim accuracy on the
+generated samples (class-conditioning check), and warm per-image
+generation throughput — i.e. whether ~20 solver steps deliver DDIM-50
+quality at a fraction of the denoiser calls.
+
+Writes ``artifacts/real_run/dpm_quality.json``.
+
+Usage: python benchmarks/dpm_quality.py
+       (expects /tmp/advshadow_realdata from the real-run data phase and
+        the orbax tree artifacts/real_run/diffusion_run/shadow64)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART = os.path.join(REPO, "artifacts", "real_run")
+DATA = os.environ.get("ADVSHADOW_DATA", "/tmp/advshadow_realdata")
+CKPT = os.path.join(ART, "diffusion_run", "shadow64", "ckpt_last")
+VCKPT = os.path.join(ART, "victim_run", "victim64", "victim_resnet18.pkl")
+
+CONFIGS = [("ddim", 50), ("dpmpp", 20), ("dpmpp", 10)]
+N_CLS, PER_CLS = 10, 64
+
+
+def main():
+    from advshadow_tpu.utils.runtime import runtime_init
+
+    runtime_init()
+    from advshadow_tpu.cli.evaluate import main as evaluate_main
+    from advshadow_tpu.cli.generate import main as generate_main
+
+    fid_common = ["--feature_victim", "resnet18", "--victim_ckpt", VCKPT,
+                  "--num_classes", "10", "--image_size", "64"]
+    out = {"checkpoint": CKPT, "n_generated": N_CLS * PER_CLS, "rows": []}
+    for sampler, steps in CONFIGS:
+        tag = f"{sampler}{steps}"
+        flat = os.path.join(DATA, f"gen_{tag}")
+        shutil.rmtree(flat, ignore_errors=True)
+        os.makedirs(flat)
+        warm_s = 0.0
+        for c in range(N_CLS):
+            t0 = time.time()
+            imgs = generate_main([
+                "--weight_path", CKPT,
+                "--result_path", os.path.join(DATA, f"gen_{tag}_raw"),
+                "--generate_name", f"g{c}", "--num_images", str(PER_CLS),
+                "--class_name", str(c), "--sample", sampler,
+                "--sample_steps", str(steps),
+                "--use_ema", "1", "--seed", str(1000 + c),
+            ])
+            if c > 0:  # class 0 pays the compile
+                warm_s += time.time() - t0
+            del imgs
+        raw = os.path.join(DATA, f"gen_{tag}_raw")
+        for dirpath, _, files in os.walk(raw):
+            for fn in files:
+                if fn.endswith(".png") and "_" in fn:  # singles, not grids
+                    shutil.copy(os.path.join(dirpath, fn),
+                                os.path.join(flat, fn))
+        fid = evaluate_main(
+            ["fid", "--folder1", os.path.join(DATA, "train", "images"),
+             "--folder2", flat] + fid_common)
+        acc = _generated_accuracy(flat)
+        row = {
+            "sampler": sampler,
+            "steps": steps,
+            "fid_generated_vs_train": round(float(fid["fid"]), 4),
+            "victim_accuracy_on_generated": acc,
+            "warm_imgs_per_sec": round(PER_CLS * (N_CLS - 1) / warm_s, 2),
+        }
+        out["rows"].append(row)
+        print(json.dumps(row), file=sys.stderr)
+
+    with open(os.path.join(ART, "dpm_quality.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({"metric": "dpm_quality", "rows": len(out["rows"])}))
+
+
+def _generated_accuracy(flat_gen: str) -> float:
+    """Victim accuracy on generated singles named ``g<class>_<i>.png``."""
+    import pickle
+
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from advshadow_tpu.victims import make_victim_fn, make_victim_model
+    from advshadow_tpu.victims.zoo import safe_argmax
+
+    xs, ys = [], []
+    for fn in sorted(os.listdir(flat_gen)):
+        xs.append(np.asarray(Image.open(os.path.join(flat_gen, fn)),
+                             np.float32) / 255.0)
+        ys.append(int(fn.split("_")[0][1:]))
+    model = make_victim_model("resnet18", num_classes=10)
+    with open(VCKPT, "rb") as f:
+        variables = pickle.load(f)
+    vf = make_victim_fn(model, variables)
+    pred = safe_argmax(vf(jnp.asarray(np.stack(xs))))
+    return round(float(jnp.mean(
+        (pred == jnp.asarray(ys)).astype(jnp.float32))), 4)
+
+
+if __name__ == "__main__":
+    main()
