@@ -540,6 +540,17 @@ class TestDeployGeneratePath:
             data = json.loads(resp)
             name = data["image"][0]["image_name"]
             assert os.path.exists(tmp_path / "served" / name)
+
+            # the fast-sampler request path (sample_steps honored)
+            resp = send_request("localhost", server.port, {
+                "sample": "dpmpp", "sample_steps": 5, "num_images": 1,
+                "weight_path": ckpt,
+                "result_path": str(tmp_path / "served2"), "class_name": 1,
+                "use_ema": True,
+            })
+            data = json.loads(resp)
+            name = data["image"][0]["image_name"]
+            assert os.path.exists(tmp_path / "served2" / name)
         finally:
             server.stop()
 
