@@ -71,6 +71,15 @@ class ShadowOptConfig:
     # differentiability mode
     hard: bool = False                # True = exact reference mask semantics
     sharpness: float = 1.0
+    # The reference initializes the center from
+    # torch.nonzero(mask).float().mean(0)[1:] on a [1, H, W] mask — that
+    # is (y_bar, x_bar) — and then reads element 0 as the X offset
+    # (ref: ddim2/test.py:499-501 vs :641-644), i.e. the shadow starts at
+    # the TRANSPOSED centroid.  Default False starts at the true (x, y)
+    # centroid (a deliberate fix — the transposed start can land off the
+    # object); True replicates the reference bit-for-bit for output
+    # parity on asymmetric masks (benchmarks/quality_parity.py).
+    center_transpose_compat: bool = False
 
 
 #: ref: ddim2/test.py:479-617 + :647-681 + :830-871
@@ -147,7 +156,8 @@ def optimize_shadow_position(
     """
     H, W = image.shape[0], image.shape[1]
     mask_center = mask_centroid(mask)
-    center0 = mask_center
+    center0 = (mask_center[::-1] if config.center_transpose_compat
+               else mask_center)
     radius0 = jnp.asarray(config.radius_init, jnp.float32)
     tx = _make_optimizer(config)
 

@@ -23,6 +23,8 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
+from advshadow_tpu.victims.zoo import safe_argmax
+
 __all__ = [
     "cross_entropy",
     "integrated_gradients_attack",
@@ -147,7 +149,7 @@ def _self_label_ce(victim_fn: VictimFn):
 
     def loss(x):
         logits = victim_fn(x)
-        labels = jax.lax.stop_gradient(jnp.argmax(logits, axis=-1))
+        labels = jax.lax.stop_gradient(safe_argmax(logits))
         return cross_entropy(logits, labels)
 
     return loss

@@ -256,7 +256,7 @@ class BatchLoader:
         self.epoch = 0
 
     def __len__(self) -> int:
-        n = len(self.dataset) // self.num_hosts
+        n = -(-len(self.dataset) // self.num_hosts)  # padded per-host count
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _indices(self) -> np.ndarray:
@@ -265,7 +265,13 @@ class BatchLoader:
             idx = np.random.default_rng(self.seed + self.epoch).permutation(n)
         else:
             idx = np.arange(n)
-        per_host = n // self.num_hosts
+        # DistributedSampler semantics: pad to a multiple of num_hosts by
+        # wrapping so every sample appears on some host each epoch
+        # (ref: utils/utils.py:153-157; torch pads with leading indices).
+        if n % self.num_hosts:
+            idx = np.concatenate(
+                [idx, idx[: self.num_hosts - n % self.num_hosts]])
+        per_host = len(idx) // self.num_hosts
         return idx[self.host_id * per_host: (self.host_id + 1) * per_host]
 
     def __iter__(self) -> Iterator:

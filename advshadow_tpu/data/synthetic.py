@@ -208,6 +208,11 @@ def generate_dataset(root: str, n_per_class: int = 200, image_size: int = 64,
             Image.fromarray(mask).save(os.path.join(masks, f"mask_{name}"))
             labels[name] = cls
     labels_json = os.path.join(root, "labels.json")
+    if os.path.exists(labels_json):
+        # extending an existing root (e.g. a later start_index chunk):
+        # merge so earlier files keep their labels
+        with open(labels_json) as f:
+            labels = {**json.load(f), **labels}
     with open(labels_json, "w") as f:
         json.dump(labels, f)
     return {"images": flat, "masks": masks, "labels_json": labels_json,

@@ -78,7 +78,8 @@ def load_folder_images(
             f"{skipped}/{len(names)} files skipped: filename prefix not in "
             f"the label map (ASR expects '<class>_<i>.<ext>' names)",
             stacklevel=2)
-    return (np.stack(imgs) if imgs else np.zeros((0, image_size, image_size, 3))), \
+    return (np.stack(imgs) if imgs
+            else np.zeros((0, image_size, image_size, 3), np.float32)), \
         np.asarray(labels, np.int32), kept
 
 

@@ -20,6 +20,8 @@ from typing import Callable, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from advshadow_tpu.victims.zoo import safe_argmax
+
 __all__ = ["grad_cam", "make_resnet_cam_fn", "show_cam_on_image"]
 
 # fn(images, feature_offset) -> (logits, features)
@@ -38,7 +40,7 @@ def grad_cam(
     default, which the reference relies on)."""
     logits, features = cam_model_fn(images, None)
     if targets is None:
-        targets = jnp.argmax(logits, axis=-1)
+        targets = safe_argmax(logits)
 
     def score(offset):
         lg, _ = cam_model_fn(images, offset)

@@ -90,7 +90,8 @@ def make_victim_fn(
     """
 
     def fn(x: jax.Array) -> jax.Array:
-        if input_size is not None and x.shape[1] != input_size:
+        if input_size is not None and (x.shape[1] != input_size
+                                       or x.shape[2] != input_size):
             x = resize(x, input_size, input_size)
         if normalize:
             x = imagenet_normalize(x)

@@ -19,10 +19,11 @@ agreement.  ``python -m benchmarks.quality_parity`` writes
 ``QUALITY_r02.json`` at the repo root.
 
 Protocol notes (reference quirks reproduced, not fixed):
-- masks are circles centered ON THE IMAGE DIAGONAL because the reference
-  swaps (y, x) from ``torch.nonzero(mask).mean(0)[1:]`` into an (x, y)
-  shadow center (ddim2/test.py:500-501 vs :639-644); a diagonal centroid
-  makes the swap a no-op so the comparison isolates the attack math.
+- the reference swaps (y, x) from ``torch.nonzero(mask).mean(0)[1:]``
+  into an (x, y) shadow center (ddim2/test.py:500-501 vs :639-644);
+  ``ShadowOptConfig(center_transpose_compat=True)`` replicates that
+  bit-for-bit, so the masks here are ASYMMETRIC circles (independent
+  cx/cy) and the parity claim covers the transpose quirk too.
 - the reference mutates ``original_image`` in place via a shared-memory
   numpy view (``rgb_image /= rgb_image.max()``, ddim2/test.py:541-542);
   outputs don't depend on the mutated tensor, but we pass a copy anyway.
@@ -180,9 +181,11 @@ def make_inputs(n_images, size, seed=0):
     masks = np.zeros((n_images, size, size), np.float32)
     ys, xs = np.mgrid[0:size, 0:size]
     for i in range(n_images):
-        c = float(rng.uniform(size * 0.35, size * 0.65))  # diagonal center
+        cx = float(rng.uniform(size * 0.30, size * 0.70))
+        cy = float(rng.uniform(size * 0.30, size * 0.70))  # asymmetric
         r = float(rng.uniform(size * 0.2, size * 0.32))
-        masks[i] = ((xs - c) ** 2 + (ys - c) ** 2 <= r * r).astype(np.float32)
+        masks[i] = ((xs - cx) ** 2 + (ys - cy) ** 2 <= r * r).astype(
+            np.float32)
     targets = rng.integers(0, 37, n_images).astype(np.int32)
     baselines = rng.standard_normal(
         (n_images, 16, size, size, 3)).astype(np.float32)  # >= iterations
@@ -218,7 +221,8 @@ def run_ours(victim_fn, images, masks, targets, baselines, iterations):
 
     from advshadow_tpu.attack import ShadowOptConfig, optimize_shadow_position
 
-    cfg = ShadowOptConfig(iterations=iterations, hard=True)
+    cfg = ShadowOptConfig(iterations=iterations, hard=True,
+                          center_transpose_compat=True)
     fn = jax.jit(lambda im, m, t, b: optimize_shadow_position(
         victim_fn, im, m, t, jax.random.PRNGKey(0), cfg,
         ig_baselines=b))

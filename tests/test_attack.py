@@ -205,6 +205,26 @@ class TestShadowOptimization:
             self.victim, self.image, self.mask, jnp.int32(2), self.rng, cfg)
         assert float(res.radius) > 6.0
 
+    def test_center_transpose_compat(self):
+        """The reference seeds the center with the TRANSPOSED centroid
+        ((y_bar, x_bar) read as (x, y), ref ddim2/test.py:499-501 vs
+        :641-644); the compat flag replicates that, the default uses the
+        true centroid."""
+        mask = jnp.zeros((H, W)).at[4:12, 20:30].set(1.0)  # asymmetric
+        cfg = ShadowOptConfig(iterations=1, inner_iterations=1,
+                              inner_steps=2, radius_init=6.0)
+        res = optimize_shadow_position(
+            self.victim, self.image, mask, jnp.int32(2), self.rng, cfg)
+        np.testing.assert_allclose(np.asarray(res.center), [24.5, 7.5],
+                                   atol=0.1)
+        cfg_t = ShadowOptConfig(iterations=1, inner_iterations=1,
+                                inner_steps=2, radius_init=6.0,
+                                center_transpose_compat=True)
+        res_t = optimize_shadow_position(
+            self.victim, self.image, mask, jnp.int32(2), self.rng, cfg_t)
+        np.testing.assert_allclose(np.asarray(res_t.center), [7.5, 24.5],
+                                   atol=0.1)
+
     def test_batched_matches_single(self):
         images = jnp.stack([self.image, self.image * 0.5])
         masks = jnp.stack([self.mask, self.mask])

@@ -118,6 +118,27 @@ class TestBatchLoader:
         assert seen[0].isdisjoint(seen[1])
         assert len(seen[0] | seen[1]) == 8
 
+    def test_host_sharding_covers_uneven_dataset(self):
+        """DistributedSampler semantics: when len(dataset) % num_hosts
+        != 0 the permutation is wrap-padded, so EVERY sample appears on
+        some host each epoch (no silent drops)."""
+
+        class Sized:
+            def __len__(self):
+                return 101
+
+        union = set()
+        counts = []
+        for host in range(2):
+            loader = BatchLoader(Sized(), batch_size=4, seed=5,
+                                 num_hosts=2, host_id=host, shuffle=True)
+            idx = loader._indices()
+            counts.append(len(idx))
+            union |= set(int(i) for i in idx)
+        assert union == set(range(101))       # full coverage
+        assert counts == [51, 51]             # padded to equal shards
+        assert len(loader) == 51 // 4         # drop_last __len__ sees the pad
+
     def test_epoch_reshuffles(self, image_folder):
         ds = ImageFolderDataset(image_folder, image_size=16)
         loader = BatchLoader(ds, batch_size=8, seed=3)

@@ -53,7 +53,7 @@ class TestSSIM:
         C1 = 0.01**2
         expected = (2 * c1v * c2v + C1) / (c1v**2 + c2v**2 + C1)
         assert float(ssim(a, b, data_range=1.0)) == pytest.approx(
-            expected, rel=1e-5)
+            expected, rel=1e-3)  # f32 roundoff in the zero-variance terms
 
     def test_batch_metrics(self):
         a = jax.random.uniform(jax.random.PRNGKey(0), (4, 16, 16, 3))
@@ -61,6 +61,39 @@ class TestSSIM:
         b = jnp.clip(a + noise, 0, 1)
         s, p = batch_psnr_ssim(a, b)
         assert 0 < float(s) < 1 and 15 < float(p) < 40
+
+    @pytest.mark.parametrize("win_size", [7, 11])
+    def test_matches_skimage_algorithm(self, win_size):
+        """Ground truth: skimage structural_similarity's exact
+        gaussian_weights=True algorithm (sigma-1.5 truncate-3.5 Gaussian
+        via scipy.ndimage with 'nearest' padding — an 11-tap kernel
+        independent of win_size; win_size only sets cov_norm and the
+        border crop), per channel then averaged."""
+        from scipy.ndimage import gaussian_filter
+
+        rng = np.random.default_rng(5)
+        a = rng.random((35, 29, 3)).astype(np.float64)
+        b = np.clip(a + 0.1 * rng.standard_normal(a.shape), 0, 1)
+        dr = a.max() - a.min()
+        C1, C2 = (0.01 * dr) ** 2, (0.03 * dr) ** 2
+        NP = win_size**2
+        cov_norm = NP / (NP - 1)
+        pad = (win_size - 1) // 2
+        f = lambda im: gaussian_filter(im, 1.5, truncate=3.5,
+                                       mode="nearest")
+        vals = []
+        for c in range(3):
+            x, y = a[..., c], b[..., c]
+            ux, uy = f(x), f(y)
+            vx = cov_norm * (f(x * x) - ux * ux)
+            vy = cov_norm * (f(y * y) - uy * uy)
+            vxy = cov_norm * (f(x * y) - ux * uy)
+            S = ((2 * ux * uy + C1) * (2 * vxy + C2)) / (
+                (ux**2 + uy**2 + C1) * (vx + vy + C2))
+            vals.append(S[pad:-pad, pad:-pad].mean())
+        expected = np.mean(vals)
+        got = float(ssim(jnp.asarray(a), jnp.asarray(b), win_size, dr))
+        assert got == pytest.approx(expected, abs=2e-5)
 
 
 class TestFID:
