@@ -101,6 +101,13 @@ def dpmpp2m_sample(
         if clip_denoised:
             d = jnp.clip(d, -1.0, 1.0)
         d_bar = (1.0 + ci) * d - ci * d_prev  # ci=0 on the bootstrap step
+        if clip_denoised:
+            # under CFG the 2M extrapolation can overshoot the data range
+            # even when each x0 prediction is clipped; the overshoot
+            # accumulates as low-frequency saturation (measured: FID
+            # 2.09 -> see dpm_quality.json).  Clip the extrapolated
+            # combination to the same range the model was trained on.
+            d_bar = jnp.clip(d_bar, -1.0, 1.0)
         x = s_ratio * x - a_phi * d_bar
         return (x, d), None
 
