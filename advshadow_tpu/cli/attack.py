@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_path", type=str, required=True)
     p.add_argument("--victim", type=str, default="resnet18")
     p.add_argument("--victim_ckpt", type=str, default=None)
+    p.add_argument("--torch_state_dict", type=str, default=None,
+                   help="real pretrained torch state_dict (.pth/.pt/.npz) "
+                        "ported via victims/port.py")
     p.add_argument("--num_classes", type=int, default=37)
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--batch_size", type=int, default=64)
@@ -85,11 +88,16 @@ def run_attack(args) -> dict:
                          "(object masks drive the shadow composite)")
     rng = seed_initializer(args.seed)
     victim = make_victim_model(args.victim, num_classes=args.num_classes)
-    if args.victim_ckpt:
-        import pickle
+    if getattr(args, "torch_state_dict", None):
+        from advshadow_tpu.victims import load_torch_state_dict, \
+            port_state_dict
 
-        with open(args.victim_ckpt, "rb") as f:
-            variables = pickle.load(f)
+        variables = port_state_dict(
+            args.victim, load_torch_state_dict(args.torch_state_dict))
+    elif args.victim_ckpt:
+        from advshadow_tpu.victims import load_variables
+
+        variables = load_variables(args.victim_ckpt)
     else:
         logger.warning("no --victim_ckpt: randomly initialized victim")
         variables = jax.jit(victim.init)(

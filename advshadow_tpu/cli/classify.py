@@ -33,7 +33,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--path", type=str, required=True,
                    help="image file or folder")
     p.add_argument("--victim", type=str, default="resnet18")
-    p.add_argument("--victim_ckpt", type=str, default=None)
+    p.add_argument("--victim_ckpt", type=str, default=None,
+                   help="npz (or legacy pkl) of trained victim variables")
+    p.add_argument("--torch_state_dict", type=str, default=None,
+                   help="real pretrained torch state_dict (.pth/.pt/.npz) "
+                        "ported through victims/port.py (drop-in for the "
+                        "reference's ImageNet victims, ASR_fast.py:16-88)")
     p.add_argument("--num_classes", type=int, default=37)
     p.add_argument("--image_size", type=int, default=224)
     p.add_argument("--label_json", type=str, default=None)
@@ -45,11 +50,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def classify(args) -> dict:
     model = make_victim_model(args.victim, num_classes=args.num_classes)
-    if args.victim_ckpt:
-        import pickle
+    if getattr(args, "torch_state_dict", None):
+        from advshadow_tpu.victims import load_torch_state_dict, \
+            port_state_dict
 
-        with open(args.victim_ckpt, "rb") as f:
-            variables = pickle.load(f)
+        variables = port_state_dict(
+            args.victim, load_torch_state_dict(args.torch_state_dict))
+    elif args.victim_ckpt:
+        from advshadow_tpu.victims import load_variables
+
+        variables = load_variables(args.victim_ckpt)
     else:
         logger.warning("no --victim_ckpt: randomly initialized (smoke mode)")
         variables = jax.jit(model.init)(

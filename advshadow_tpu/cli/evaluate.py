@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     asr.add_argument("--folder", type=str, required=True)
     asr.add_argument("--victim", type=str, default="resnet18")
     asr.add_argument("--victim_ckpt", type=str, default=None)
+    asr.add_argument("--torch_state_dict", type=str, default=None,
+                     help="real pretrained torch state_dict "
+                          "(.pth/.pt/.npz) ported via victims/port.py")
     asr.add_argument("--label_json", type=str, default=None,
                      help="id2label JSON for this victim's ordering")
     asr.add_argument("--image_size", type=int, default=224)
@@ -49,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     fid.add_argument("--feature_victim", type=str, default="resnet18",
                      help="feature extractor (InceptionV3 when ported)")
     fid.add_argument("--victim_ckpt", type=str, default=None)
+    fid.add_argument("--torch_state_dict", type=str, default=None,
+                     help="real pretrained torch state_dict "
+                          "(.pth/.pt/.npz) ported via victims/port.py")
     fid.add_argument("--image_size", type=int, default=224)
     fid.add_argument("--num_classes", type=int, default=37,
                      help="head size of the feature victim's checkpoint "
@@ -56,13 +62,19 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def _victim_fn(name, num_classes, ckpt, image_size):
+def _victim_fn(name, num_classes, ckpt, image_size,
+               torch_state_dict=None):
     model = make_victim_model(name, num_classes=num_classes)
-    if ckpt:
-        import pickle
+    if torch_state_dict:
+        from advshadow_tpu.victims import load_torch_state_dict, \
+            port_state_dict
 
-        with open(ckpt, "rb") as f:
-            variables = pickle.load(f)
+        variables = port_state_dict(name,
+                                    load_torch_state_dict(torch_state_dict))
+    elif ckpt:
+        from advshadow_tpu.victims import load_variables
+
+        variables = load_variables(ckpt)
     else:
         logger.warning("no victim ckpt: randomly initialized (smoke mode)")
         variables = jax.jit(model.init)(
@@ -76,7 +88,8 @@ def run_asr(args) -> dict:
     else:
         l2i = {c: i for i, c in enumerate(OXFORD_PET_CLASSES)}
     _, _, fn = _victim_fn(args.victim, args.num_classes, args.victim_ckpt,
-                          args.image_size)
+                          args.image_size,
+                          getattr(args, "torch_state_dict", None))
     out = compute_asr_folder(fn, args.folder, l2i, args.image_size)
     # the reference prints (1-asr)*100 (ref: ASR_fast.py:133)
     out["reference_print"] = out["accuracy"] * 100.0
@@ -94,7 +107,8 @@ def run_psnr_ssim(args) -> dict:
 
 def run_fid(args) -> dict:
     model, variables, _ = _victim_fn(args.feature_victim, args.num_classes,
-                                     args.victim_ckpt, args.image_size)
+                                     args.victim_ckpt, args.image_size,
+                                     getattr(args, "torch_state_dict", None))
 
     def feature_fn(x):
         # penultimate (pre-fc) features as the embedding

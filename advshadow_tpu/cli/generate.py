@@ -43,6 +43,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=choices.sample_choices + [None])
     p.add_argument("--use_ema", type=str2bool, default=False)
     p.add_argument("--cfg_scale", type=int, default=3)
+    p.add_argument("--cfg_rescale", type=float, default=0.0,
+                   help="guidance rescale phi in [0,1] (Lin et al. 2023); "
+                        "0 disables")
+    p.add_argument("--cfg_interval", type=str, default=None,
+                   help="'t_lo,t_hi' guidance interval (Kynkäänniemi et "
+                        "al. 2024); outside it the plain conditional "
+                        "prediction is used")
     p.add_argument("--class_name", type=int, default=-1,
                    help="-1 = one image per class (ref tools/generate.py:71-74)")
     p.add_argument("--seed", type=int, default=0)
@@ -83,10 +90,17 @@ def generate(args) -> np.ndarray:
     else:
         labels, cfg_scale, n = None, None, args.num_images
 
-    denoise = make_denoise_fn(model.apply, params, labels, cfg_scale)
+    cfg_interval = None
+    if getattr(args, "cfg_interval", None):
+        lo, hi = (int(v) for v in args.cfg_interval.split(","))
+        cfg_interval = (lo, hi)
+    denoise = make_denoise_fn(model.apply, params, labels, cfg_scale,
+                              cfg_rescale=getattr(args, "cfg_rescale", 0.0),
+                              cfg_interval=cfg_interval)
     sampler = make_sampler(sample)
     kwargs = {}
-    if args.sample_steps and sample in ("ddim", "plms", "dpmpp"):
+    if args.sample_steps and sample in ("ddim", "plms", "dpmpp",
+                                        "dpmpp_sde"):
         kwargs["sample_steps"] = args.sample_steps
     if sample == "plms" and conditional:
         # the reference's PLMS bootstrap forward skips CFG

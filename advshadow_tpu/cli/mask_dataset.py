@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
                         "else saliency; jax = the TPU-native Mask-RCNN "
                         "(advshadow_tpu.masks.maskrcnn)")
     p.add_argument("--jax_weights", type=str, default=None,
-                   help="pickle of ported torchvision Mask-RCNN variables "
+                   help="npz (or legacy pkl) of ported torchvision Mask-RCNN variables "
                         "for --detector jax")
     p.add_argument("--confidence_threshold", type=float, default=0.7)
     p.add_argument("--mask_threshold", type=float, default=0.3)
@@ -52,10 +52,9 @@ def main(argv=None):
         runtime_init()
         variables = None
         if args.jax_weights:
-            import pickle
+            from advshadow_tpu.victims import load_variables
 
-            with open(args.jax_weights, "rb") as f:
-                variables = pickle.load(f)
+            variables = load_variables(args.jax_weights)
         detect_fn = make_jax_maskrcnn_detector(variables)
         os.makedirs(args.output_path, exist_ok=True)
         n = 0

@@ -65,10 +65,9 @@ def build_parser() -> argparse.ArgumentParser:
 def _load_victim(args, image_size: int, rng):
     model = make_victim_model(args.victim, num_classes=args.num_classes)
     if args.victim_ckpt:
-        import pickle
+        from advshadow_tpu.victims import load_variables
 
-        with open(args.victim_ckpt, "rb") as f:
-            variables = pickle.load(f)
+        variables = load_variables(args.victim_ckpt)
     else:
         logger.warning("no --victim_ckpt: using randomly initialized victim "
                        "(smoke/benchmark mode)")

@@ -8,14 +8,13 @@ ported torch weights (linear-probe or full fine-tune), with top-1
 accuracy on a held-out split.
 
 BatchNorm runs with frozen (inference) statistics — the standard
-fine-tuning setup for ported backbones; trained victims pickle their
+fine-tuning setup for ported backbones; trained victims save their
 variables for ``--victim_ckpt`` across the attack/eval CLIs.
 """
 
 from __future__ import annotations
 
 import argparse
-import pickle
 import sys
 import time
 
@@ -47,7 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--init_ckpt", type=str, default=None,
-                   help="pickle of ported variables to start from")
+                   help="npz (or legacy pkl) of ported variables to "
+                        "start from")
     p.add_argument("--head_only", type=str2bool, default=False,
                    help="linear probe: train only Dense layers")
     p.add_argument("--result_path", type=str, default="./results")
@@ -77,8 +77,9 @@ def train_victim(args) -> dict:
     variables = jax.jit(model.init)(
         rng, jnp.zeros((1, args.image_size, args.image_size, 3)))
     if args.init_ckpt:
-        with open(args.init_ckpt, "rb") as f:
-            loaded = pickle.load(f)
+        from advshadow_tpu.victims import load_variables
+
+        loaded = load_variables(args.init_ckpt)
         from advshadow_tpu.train import filter_pretrain_params
 
         variables = jax.tree_util.tree_map(lambda x: x, variables)
@@ -166,9 +167,11 @@ def train_victim(args) -> dict:
                     f"({time.time() - t0:.1f}s)")
         hist.append(train_acc)
 
-    out_path = f"{dirs['results_dir']}/victim_{args.victim}.pkl"
-    with open(out_path, "wb") as f:
-        pickle.dump({"params": jax.device_get(params), **frozen}, f)
+    from advshadow_tpu.victims import save_variables
+
+    out_path = save_variables(
+        f"{dirs['results_dir']}/victim_{args.victim}.npz",
+        {"params": jax.device_get(params), **frozen})
     logger.info(f"saved victim variables to {out_path}")
     return {"train_acc": hist, "ckpt": out_path,
             "classes": train_ds.classes}

@@ -8,7 +8,7 @@ from advshadow_tpu.samplers.ddim import (
     ddim_timestep_sequence,
 )
 from advshadow_tpu.samplers.ddpm import ddpm_sample, p_sample_loop
-from advshadow_tpu.samplers.dpm import dpmpp2m_sample
+from advshadow_tpu.samplers.dpm import dpmpp2m_sample, dpmpp2m_sde_sample
 from advshadow_tpu.samplers.plms import plms_sample
 
 #: Sampler registry — the working equivalent of the reference's missing
@@ -19,6 +19,7 @@ SAMPLERS = {
     "ddim": ddim_sample_framework,
     "plms": plms_sample,
     "dpmpp": dpmpp2m_sample,
+    "dpmpp_sde": dpmpp2m_sde_sample,
 }
 
 
@@ -37,6 +38,7 @@ __all__ = [
     "ddim_timestep_sequence",
     "ddpm_sample",
     "dpmpp2m_sample",
+    "dpmpp2m_sde_sample",
     "p_sample_loop",
     "plms_sample",
     "SAMPLERS",

@@ -30,6 +30,8 @@ def make_denoise_fn(
     params,
     labels: Optional[jax.Array] = None,
     cfg_scale: Optional[float] = None,
+    cfg_rescale: float = 0.0,
+    cfg_interval: Optional[tuple] = None,
 ) -> DenoiseFn:
     """Close a Flax apply over params/labels/CFG into ``fn(x, t) -> eps``.
 
@@ -37,6 +39,21 @@ def make_denoise_fn(
     - labels set,  cfg None/0 -> conditional forward (no guidance)
     - labels set,  cfg > 0    -> fused 2N CFG forward,
       eps = lerp(uncond, cond, cfg_scale)  (ref: model/samples/ddpm.py:70-74)
+
+    Guidance fixes for the fast-sampler path (beyond-reference; both are
+    no-ops at their defaults and compose with any sampler):
+
+    - ``cfg_rescale`` in [0, 1]: guidance rescale (Lin et al. 2023,
+      2305.08891 eq. 15-16).  Per-sample, the guided prediction's std over
+      pixels is shrunk back to the conditional prediction's std, then
+      lerped with the unrescaled guidance by ``cfg_rescale``.  Counters
+      the overexposure/saturation large CFG induces — the failure mode
+      that makes deterministic DPM-Solver++ unusable at CFG 3.
+    - ``cfg_interval`` = (t_lo, t_hi): guidance interval (Kynkäänniemi et
+      al. 2024, 2404.07724).  Guidance is applied only for timesteps in
+      [t_lo, t_hi]; outside, the plain conditional prediction is used.
+      Restricting CFG to mid-noise levels removes its harmful effect at
+      the trajectory's ends.
     """
 
     if labels is None:
@@ -57,7 +74,19 @@ def make_denoise_fn(
         t2 = jnp.concatenate([t, t])
         eps2 = apply_fn(params, x2, t2, y2)
         cond, uncond = eps2[:n], eps2[n:]
-        return uncond + cfg_scale * (cond - uncond)
+        guided = uncond + cfg_scale * (cond - uncond)
+        if cfg_rescale:
+            axes = tuple(range(1, guided.ndim))
+            std_cond = jnp.std(cond, axis=axes, keepdims=True)
+            std_cfg = jnp.std(guided, axis=axes, keepdims=True)
+            rescaled = guided * (std_cond / jnp.maximum(std_cfg, 1e-8))
+            guided = cfg_rescale * rescaled + (1.0 - cfg_rescale) * guided
+        if cfg_interval is not None:
+            t_lo, t_hi = cfg_interval
+            gate = ((t >= t_lo) & (t <= t_hi)).reshape(
+                (-1,) + (1,) * (guided.ndim - 1))
+            guided = jnp.where(gate, guided, cond)
+        return guided
 
     return fn
 

@@ -1,4 +1,4 @@
-"""DPM-Solver++(2M) — fast deterministic sampler (beyond-reference).
+"""DPM-Solver++(2M) — fast deterministic + SDE samplers (beyond-reference).
 
 The reference ships DDPM / DDIM / PLMS (ref: model/samples/, and the
 hand-rolled ``ddim_sample`` at diff_model.py:416-474).  This module adds
@@ -22,6 +22,21 @@ Update rule (data prediction, multistep 2M), with
   x_i = (sigma_i/sigma_{i-1}) x_{i-1} - alpha_i expm1(-h_i) D_bar_i
 
 (c_1 = 0 recovers the first-order DDIM-like bootstrap step.)
+
+The SDE variant (``sde=True``; SDE-DPM-Solver++(2M), Lu et al. 2211.01095
+Sec. 4 / App. E) keeps the *same* multistep combination D_bar but runs the
+reverse SDE instead of the probability-flow ODE:
+
+  x_i = (sigma_i/sigma_{i-1}) e^{-h_i} x_{i-1}
+        + alpha_i (1 - e^{-2 h_i}) D_bar_i
+        + sigma_i sqrt(1 - e^{-2 h_i}) z_i,    z_i ~ N(0, I)
+
+The injected noise re-randomizes the trajectory each step, which is the
+standard remedy for the low-frequency saturation the deterministic 2M
+update develops under large classifier-free guidance (the paper's CFG=3
+operating point) — measured in artifacts/real_run/dpm_quality.json.  Pair
+with ``cfg_rescale``/``cfg_interval`` in samplers.base.make_denoise_fn
+for the guided fast-sampling path.
 """
 
 from __future__ import annotations
@@ -36,7 +51,7 @@ from advshadow_tpu.core.diffusion import DiffusionCoefficients
 from advshadow_tpu.samplers.base import DenoiseFn
 from advshadow_tpu.samplers.ddim import ddim_timestep_sequence
 
-__all__ = ["dpmpp2m_sample", "dpmpp2m_tables"]
+__all__ = ["dpmpp2m_sample", "dpmpp2m_sde_sample", "dpmpp2m_tables"]
 
 
 def dpmpp2m_tables(
@@ -46,12 +61,21 @@ def dpmpp2m_tables(
     """Host-side f64 per-step coefficient tables for the 2M scan.
 
     Returns int32 ``t`` (denoiser conditioning per step, high -> low) and
-    f32 ``alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c`` arrays of
-    length ``sample_steps`` (boundary grid is the DDIM uniform/quad
-    stride plus a terminal t=0).
+    f32 ``alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c, ratio_sde,
+    alpha_phi_sde, noise_sde`` arrays of length ``n_steps`` (boundary grid
+    is the DDIM uniform/quad stride plus a terminal t=0, deduplicated —
+    the quad grid's int cast can repeat timesteps, which would make
+    ``h = 0`` and divide the 2M coefficient by zero; after dedup
+    ``n_steps`` may be smaller than ``sample_steps``).
     """
     seq = ddim_timestep_sequence(timesteps, sample_steps, method)
     times = np.concatenate([seq[::-1], [0]]).astype(np.int64)  # N+1 bounds
+    # strictly-decreasing dedup (quad grids repeat small timesteps)
+    times = -np.unique(-times)
+    if times.size < 2:
+        raise ValueError(
+            f"degenerate timestep grid for sample_steps={sample_steps}, "
+            f"method={method!r}: fewer than 2 unique boundaries")
     abar = np.asarray(alphas_cumprod, np.float64)[times]
     alpha = np.sqrt(abar)
     sigma = np.sqrt(1.0 - abar)
@@ -67,6 +91,9 @@ def dpmpp2m_tables(
         f32(sigma[1:] / sigma[:-1]),
         f32(alpha[1:] * np.expm1(-h)),
         f32(c),
+        f32((sigma[1:] / sigma[:-1]) * np.exp(-h)),
+        f32(alpha[1:] * -np.expm1(-2.0 * h)),
+        f32(sigma[1:] * np.sqrt(-np.expm1(-2.0 * h))),
     )
 
 
@@ -79,23 +106,30 @@ def dpmpp2m_sample(
     method: str = "uniform",
     clip_denoised: bool = True,
     x_init: jax.Array | None = None,
+    sde: bool = False,
 ) -> jax.Array:
     """Sample with DPM-Solver++(2M). Returns x in [-1, 1] space.
 
     ``sample_steps`` is the number of denoiser calls (15-25 typical).
     ``x_init`` overrides the PRNG initial draw (parity/eval hook).
+    ``sde=True`` selects SDE-DPM-Solver++(2M) (ancestral noise each step;
+    better under large CFG — see module docstring).
     """
-    ts, alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c = dpmpp2m_tables(
+    (ts, alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c,
+     ratio_sde, alpha_phi_sde, noise_sde) = dpmpp2m_tables(
         np.asarray(coeffs.alphas_cumprod), coeffs.num_timesteps,
         sample_steps, method)
+    n_steps = ts.shape[0]
 
     n = shape[0]
+    rng, init_rng = jax.random.split(rng)
     x0 = x_init if x_init is not None else jax.random.normal(
-        rng, tuple(shape), dtype=jnp.float32)
+        init_rng, tuple(shape), dtype=jnp.float32)
+    step_keys = jax.random.split(rng, n_steps)
 
     def step(carry, inp):
         x, d_prev = carry
-        t, a_t, s_t, s_ratio, a_phi, ci = inp
+        t, a_t, s_t, s_ratio, a_phi, ci, r_sde, a_sde, n_sde, key = inp
         eps = denoise_fn(x, jnp.full((n,), t, dtype=jnp.int32))
         d = (x - s_t * eps) / a_t
         if clip_denoised:
@@ -108,10 +142,32 @@ def dpmpp2m_sample(
             # 2.09 -> see dpm_quality.json).  Clip the extrapolated
             # combination to the same range the model was trained on.
             d_bar = jnp.clip(d_bar, -1.0, 1.0)
-        x = s_ratio * x - a_phi * d_bar
+        if sde:
+            z = jax.random.normal(key, x.shape, x.dtype)
+            x = r_sde * x + a_sde * d_bar + n_sde * z
+        else:
+            x = s_ratio * x - a_phi * d_bar
         return (x, d), None
 
     (x, _), _ = jax.lax.scan(
         step, (x0, jnp.zeros_like(x0)),
-        (ts, alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c))
+        (ts, alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c,
+         ratio_sde, alpha_phi_sde, noise_sde, step_keys))
     return x
+
+
+def dpmpp2m_sde_sample(
+    coeffs: DiffusionCoefficients,
+    denoise_fn: DenoiseFn,
+    rng: jax.Array,
+    shape: Sequence[int],
+    sample_steps: int = 20,
+    method: str = "uniform",
+    clip_denoised: bool = True,
+    x_init: jax.Array | None = None,
+) -> jax.Array:
+    """Registry entry point for SDE-DPM-Solver++(2M) (``--sample dpmpp_sde``)."""
+    return dpmpp2m_sample(coeffs, denoise_fn, rng, shape,
+                          sample_steps=sample_steps, method=method,
+                          clip_denoised=clip_denoised, x_init=x_init,
+                          sde=True)

@@ -79,10 +79,15 @@ def default_generate_fn(request: Dict) -> Dict:
               else tree["model"])
     coeffs = make_diffusion(1000, meta.get("noise_schedule",
                                            "framework_linear"))
-    denoise = make_denoise_fn(model.apply, params, labels, cfg_scale)
+    cfg_interval = request.get("cfg_interval")
+    denoise = make_denoise_fn(
+        model.apply, params, labels, cfg_scale,
+        cfg_rescale=float(request.get("cfg_rescale", 0.0)),
+        cfg_interval=tuple(cfg_interval) if cfg_interval else None)
     sampler = make_sampler(sample)
     kwargs = {}
-    if request.get("sample_steps") and sample in ("ddim", "plms", "dpmpp"):
+    if request.get("sample_steps") and sample in ("ddim", "plms", "dpmpp",
+                                                  "dpmpp_sde"):
         kwargs["sample_steps"] = int(request["sample_steps"])
     if sample == "plms" and conditional:
         kwargs["boot_denoise_fn"] = make_denoise_fn(model.apply, params,

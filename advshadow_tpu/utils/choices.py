@@ -12,7 +12,7 @@ image formats) — this module supplies the working equivalent.
 from __future__ import annotations
 
 bool_choices = [True, False]
-sample_choices = ["ddpm", "ddim", "plms", "dpmpp"]
+sample_choices = ["ddpm", "ddim", "plms", "dpmpp", "dpmpp_sde"]
 network_choices = ["unet", "cspdarkunet", "unet_ddpm"]
 sr_network_choices = ["srv1"]
 optim_choices = ["adam", "adamw", "sgd"]

@@ -23,6 +23,12 @@ def runtime_init(cache_dir: str | None = None) -> None:
     global _DONE
     if _DONE:
         return
+    # escape hatch for hosts that pin JAX_PLATFORMS before interpreter
+    # startup (sitecustomize): ADVSHADOW_PLATFORM=cpu forces the backend
+    # after import, e.g. to drive CLIs while another process holds the TPU
+    platform = os.environ.get("ADVSHADOW_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
     cache_dir = cache_dir or os.environ.get(
         "ADVSHADOW_JAX_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "advshadow_jax"),

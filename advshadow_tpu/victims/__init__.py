@@ -8,6 +8,13 @@ from advshadow_tpu.victims.convnext import ConvNeXt, convnext_base, convnext_tin
 from advshadow_tpu.victims.efficientnet import EfficientNetV2, efficientnetv2_s
 from advshadow_tpu.victims.inception import InceptionV3, inception_v3
 from advshadow_tpu.victims.port import port_resnet, port_vgg
+from advshadow_tpu.victims.store import (
+    PORTERS,
+    load_torch_state_dict,
+    load_variables,
+    port_state_dict,
+    save_variables,
+)
 from advshadow_tpu.victims.swin import SwinTransformer, swin_base, swin_tiny
 from advshadow_tpu.victims.resnet import ResNet, resnet18, resnet34, resnet50
 from advshadow_tpu.victims.vgg import VGG, vgg16, vgg19
@@ -30,6 +37,11 @@ __all__ = [
     "SwinTransformer", "swin_base", "swin_tiny",
     "port_resnet",
     "port_vgg",
+    "PORTERS",
+    "load_torch_state_dict",
+    "load_variables",
+    "port_state_dict",
+    "save_variables",
     "ResNet",
     "resnet18",
     "resnet34",

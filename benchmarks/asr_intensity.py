@@ -22,7 +22,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
-import pickle
 import sys
 import time
 
@@ -33,7 +32,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART = os.path.join(REPO, "artifacts", "real_run")
 DATA = os.environ.get("ADVSHADOW_DATA", "/tmp/advshadow_realdata")
-VCKPT = os.path.join(ART, "victim_run", "victim64", "victim_resnet18.pkl")
+VCKPT = os.path.join(ART, "victim_run", "victim64", "victim_resnet18.npz")
 
 # the reference's three published operating points (0.051 nearly
 # invisible, 0.33, 0.43) plus fill-in values up to a hard shadow;
@@ -59,9 +58,10 @@ def main():
         os.path.join(eval_root, "images"), os.path.join(eval_root, "masks"),
         64, labels_json=os.path.join(eval_root, "labels.json"), seed=0)
 
+    from advshadow_tpu.victims import load_variables
+
     victim = make_victim_model("resnet18", num_classes=10)
-    with open(VCKPT, "rb") as f:
-        variables = pickle.load(f)
+    variables = load_variables(VCKPT)
     victim_fn = make_victim_fn(victim, variables)
 
     n = len(dataset)

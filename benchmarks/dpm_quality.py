@@ -31,7 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ART = os.path.join(REPO, "artifacts", "real_run")
 DATA = os.environ.get("ADVSHADOW_DATA", "/tmp/advshadow_realdata")
 CKPT = os.path.join(ART, "diffusion_run", "shadow64", "ckpt_last")
-VCKPT = os.path.join(ART, "victim_run", "victim64", "victim_resnet18.pkl")
+VCKPT = os.path.join(ART, "victim_run", "victim64", "victim_resnet18.npz")
 
 CONFIGS = [("ddim", 50), ("dpmpp", 20), ("dpmpp", 10)]
 N_CLS, PER_CLS = 10, 64
@@ -93,8 +93,6 @@ def main():
 
 def _generated_accuracy(flat_gen: str) -> float:
     """Victim accuracy on generated singles named ``g<class>_<i>.png``."""
-    import pickle
-
     import jax.numpy as jnp
     from PIL import Image
 
@@ -106,9 +104,10 @@ def _generated_accuracy(flat_gen: str) -> float:
         xs.append(np.asarray(Image.open(os.path.join(flat_gen, fn)),
                              np.float32) / 255.0)
         ys.append(int(fn.split("_")[0][1:]))
+    from advshadow_tpu.victims import load_variables
+
     model = make_victim_model("resnet18", num_classes=10)
-    with open(VCKPT, "rb") as f:
-        variables = pickle.load(f)
+    variables = load_variables(VCKPT)
     vf = make_victim_fn(model, variables)
     pred = safe_argmax(vf(jnp.asarray(np.stack(xs))))
     return round(float(jnp.mean(

@@ -81,10 +81,9 @@ def _victim(name, image_size, num_classes=37, ckpt=None):
 
     model = make_victim_model(name, num_classes=num_classes)
     if ckpt:
-        import pickle
+        from advshadow_tpu.victims import load_variables
 
-        with open(ckpt, "rb") as f:
-            variables = pickle.load(f)
+        variables = load_variables(ckpt)
     else:
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3)))
@@ -97,7 +96,7 @@ def _victim(name, image_size, num_classes=37, ckpt=None):
 _TRAINED_VICTIM = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "artifacts", "real_run", "victim_run", "victim64",
-    "victim_resnet18.pkl")
+    "victim_resnet18.npz")
 
 
 def config_single_224(small):

@@ -33,7 +33,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import pickle
 import shutil
 import sys
 import time
@@ -111,7 +110,7 @@ def phase_victim(args) -> dict:
 
 
 def _victim_ckpt() -> str:
-    return os.path.join(ART, "victim_run", "victim64", "victim_resnet18.pkl")
+    return os.path.join(ART, "victim_run", "victim64", "victim_resnet18.npz")
 
 
 def phase_diffusion(args) -> dict:
@@ -298,9 +297,10 @@ def _generated_accuracy(flat_gen: str, vckpt: str) -> dict:
             Image.open(os.path.join(flat_gen, fn)).convert("RGB"),
             np.float32) / 255.0)
         lbl.append(int(m.group(1)))
+    from advshadow_tpu.victims import load_variables
+
     model = make_victim_model("resnet18", num_classes=10)
-    with open(vckpt, "rb") as f:
-        variables = pickle.load(f)
+    variables = load_variables(vckpt)
     vf = make_victim_fn(model, variables)
     imgs = jnp.asarray(np.stack(ims))
     targets = jnp.asarray(lbl, jnp.int32)
@@ -322,11 +322,10 @@ def _gradcam_panel(args, eval_root, attacked, vckpt, n: int = 6):
         show_cam_on_image
     from advshadow_tpu.victims import make_victim_model
 
-    import pickle
+    from advshadow_tpu.victims import load_variables
 
     model = make_victim_model("resnet18", num_classes=10)
-    with open(vckpt, "rb") as f:
-        variables = pickle.load(f)
+    variables = load_variables(vckpt)
     cam_fn = make_resnet_cam_fn(model, variables)
 
     names = sorted(os.listdir(attacked))[:: max(1, len(os.listdir(attacked))

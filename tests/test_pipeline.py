@@ -558,11 +558,10 @@ class TestDeployGeneratePath:
 class TestVictimTraining:
     def test_finetune_learns_colors(self, dataset, tmp_path):
         """Fine-tune a tiny victim on the 2-color dataset; training
-        accuracy must reach 1.0 and the pickled ckpt must load back
-        through the attack CLI's victim loader path."""
-        import pickle
-
+        accuracy must reach 1.0 and the saved npz ckpt must load back
+        through the shared victim loader path."""
         from advshadow_tpu.cli.train_victim import main as tv_main
+        from advshadow_tpu.victims import load_variables
 
         out = tv_main([
             "--dataset_path", dataset, "--victim", "resnet18",
@@ -571,8 +570,8 @@ class TestVictimTraining:
         ])
         assert out["train_acc"][-1] >= 0.75
         assert out["train_acc"][-1] >= out["train_acc"][0]
-        with open(out["ckpt"], "rb") as f:
-            variables = pickle.load(f)
+        assert out["ckpt"].endswith(".npz")
+        variables = load_variables(out["ckpt"])
         assert "params" in variables and "batch_stats" in variables
 
 

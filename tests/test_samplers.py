@@ -274,3 +274,101 @@ class TestReturnAll:
         traj = p_sample_loop(coeffs, linear_denoiser, jax.random.PRNGKey(1),
                              SHAPE, return_all=True)
         assert traj.shape == (T, *SHAPE)
+
+
+class TestDPMSolverPPSDE:
+    def test_quad_grid_dedup_no_nan(self):
+        """quad grids with sample_steps >= ~30 repeat small timesteps via
+        the int cast; the tables must dedupe the boundary grid so h > 0
+        everywhere and sampling stays finite (round-2 advisor finding)."""
+        from advshadow_tpu.samplers import dpmpp2m_sample
+        from advshadow_tpu.samplers.dpm import dpmpp2m_tables
+
+        coeffs = make_diffusion(1000, "linear")
+        tables = dpmpp2m_tables(np.asarray(coeffs.alphas_cumprod), 1000, 50,
+                                method="quad")
+        for tab in tables:
+            assert np.isfinite(np.asarray(tab, np.float64)).all()
+        ts = np.asarray(tables[0])
+        assert np.all(np.diff(ts) < 0)  # strictly decreasing, no dupes
+        x_star = jnp.full(SHAPE, 0.2)
+        out = dpmpp2m_sample(coeffs, oracle_denoiser(coeffs, x_star),
+                             jax.random.PRNGKey(0), SHAPE, sample_steps=50,
+                             method="quad")
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x_star),
+                                   atol=6e-2)
+
+    def test_sde_oracle_recovers_point_mass(self):
+        """SDE-DPM-Solver++(2M) contracts to the data point for a perfect
+        oracle: the injected noise is annihilated as sigma -> 0."""
+        from advshadow_tpu.samplers import dpmpp2m_sde_sample
+
+        coeffs = make_diffusion(1000, "linear")
+        x_star = jnp.full(SHAPE, -0.31)
+        out = dpmpp2m_sde_sample(coeffs, oracle_denoiser(coeffs, x_star),
+                                 jax.random.PRNGKey(5), SHAPE,
+                                 sample_steps=25, clip_denoised=False)
+        assert np.isfinite(np.asarray(out)).all()
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x_star),
+                                   atol=8e-2)
+
+    def test_sde_differs_from_ode_and_registry(self):
+        from advshadow_tpu.samplers import make_sampler
+
+        coeffs = make_diffusion(200, "linear")
+        x_star = jnp.full(SHAPE, 0.1)
+        fn = oracle_denoiser(coeffs, x_star)
+        ode = make_sampler("dpmpp")(coeffs, fn, jax.random.PRNGKey(2),
+                                    SHAPE, sample_steps=10)
+        sde = make_sampler("dpmpp_sde")(coeffs, fn, jax.random.PRNGKey(2),
+                                        SHAPE, sample_steps=10)
+        assert float(jnp.max(jnp.abs(ode - sde))) > 1e-4
+
+
+class TestGuidanceFixes:
+    def _apply_fn(self, params, x, t, y=None):
+        base = 0.05 * x
+        if y is None:
+            return base
+        shift = jnp.where(y < 0, 0.0, y.astype(jnp.float32))
+        return base + shift.reshape(-1, 1, 1, 1)
+
+    def test_cfg_rescale_matches_formula(self):
+        """cfg_rescale must implement Lin et al. eq. 15-16: shrink the
+        guided prediction's per-sample std back to the conditional's."""
+        labels = jnp.array([1, 3])
+        x = jax.random.normal(jax.random.PRNGKey(0), SHAPE)
+        t = jnp.array([5, 5])
+        plain = make_denoise_fn(self._apply_fn, None, labels, 3.0)(x, t)
+        out = make_denoise_fn(self._apply_fn, None, labels, 3.0,
+                              cfg_rescale=0.7)(x, t)
+        cond = self._apply_fn(None, x, t, labels)
+        axes = (1, 2, 3)
+        rescaled = plain * (jnp.std(cond, axis=axes, keepdims=True)
+                            / jnp.std(plain, axis=axes, keepdims=True))
+        expected = 0.7 * rescaled + 0.3 * plain
+        np.testing.assert_allclose(np.asarray(out), np.asarray(expected),
+                                   atol=1e-5)
+        # phi=0 is a no-op
+        out0 = make_denoise_fn(self._apply_fn, None, labels, 3.0,
+                               cfg_rescale=0.0)(x, t)
+        np.testing.assert_allclose(np.asarray(out0), np.asarray(plain),
+                                   atol=0)
+
+    def test_cfg_interval_gates_guidance(self):
+        """Inside [t_lo, t_hi] the fused-CFG output; outside, the plain
+        conditional prediction (Kynkäänniemi et al. guidance interval)."""
+        labels = jnp.array([1, 3])
+        x = jnp.ones(SHAPE)
+        fn = make_denoise_fn(self._apply_fn, None, labels, 3.0,
+                             cfg_interval=(100, 800))
+        inside = fn(x, jnp.array([500, 500]))
+        outside = fn(x, jnp.array([50, 50]))
+        guided = make_denoise_fn(self._apply_fn, None, labels, 3.0)(
+            x, jnp.array([500, 500]))
+        cond = self._apply_fn(None, x, jnp.array([50, 50]), labels)
+        np.testing.assert_allclose(np.asarray(inside), np.asarray(guided),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(outside), np.asarray(cond),
+                                   atol=1e-6)
