@@ -1,6 +1,5 @@
 from advshadow_tpu.ops.attention import spatial_attention
 from advshadow_tpu.ops.blur import gaussian_blur, gaussian_kernel_1d
-from advshadow_tpu.ops.groupnorm import fused_group_norm_silu
 from advshadow_tpu.ops.image import (
     from_uint8,
     image_grid,
@@ -12,8 +11,7 @@ from advshadow_tpu.ops.sqrtm import sqrtm_newton_schulz, trace_sqrtm_product
 
 __all__ = [
     "spatial_attention",
-    "fused_group_norm_silu",
-    "gaussian_blur",
+        "gaussian_blur",
     "gaussian_kernel_1d",
     "from_uint8",
     "image_grid",

@@ -82,12 +82,26 @@ def make_victim_fn(
     variables,
     input_size: Optional[int] = None,
     normalize: bool = True,
+    compute_dtype=None,
 ) -> Callable[[jax.Array], jax.Array]:
     """Freeze a victim into ``fn(images[B,H,W,C] in [0,1]) -> logits``.
 
     Resizing to the victim's native resolution and imagenet normalization
     stay inside the closure (and therefore inside the attack's grad).
+
+    ``compute_dtype=jnp.bfloat16`` runs the victim forward (and therefore
+    the attack's backward) in bf16 — the MXU-native precision, ~2x the
+    f32 ceiling on v5e.  Inputs are normalized in f32 first and logits
+    are returned in f32; weight/activation rounding shifts logits by
+    ~1e-2 relative, which leaves attack gradient directions intact (the
+    IG/FGSM updates only consume gradient signs/normalized magnitudes).
+    Default None keeps exact f32 for parity work.
     """
+    if compute_dtype is not None:
+        variables = jax.tree_util.tree_map(
+            lambda a: a.astype(compute_dtype)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+            variables)
 
     def fn(x: jax.Array) -> jax.Array:
         if input_size is not None and (x.shape[1] != input_size
@@ -95,6 +109,9 @@ def make_victim_fn(
             x = resize(x, input_size, input_size)
         if normalize:
             x = imagenet_normalize(x)
+        if compute_dtype is not None:
+            return model.apply(variables,
+                               x.astype(compute_dtype)).astype(jnp.float32)
         return model.apply(variables, x)
 
     return fn

@@ -82,7 +82,8 @@ def main():
     # --- victim + attack ---
     victim = make_victim_model("resnet18", num_classes=37)
     vparams = jax.jit(victim.init)(rng, jnp.zeros((1, image_size, image_size, 3)))
-    victim_fn = make_victim_fn(victim, vparams)
+    victim_fn = make_victim_fn(
+        victim, vparams, compute_dtype=None if small else jnp.bfloat16)
 
     attack_cfg = (ShadowOptConfig(iterations=2, inner_iterations=2,
                                   inner_steps=4) if small else EVAL_CONFIG)
@@ -172,8 +173,9 @@ def main():
             round(batch / min(times) / n_chips, 3),
         ],
         # throughput benchmark only: the victim is a random-init resnet18
-        # (attack gradient cost is weight-independent)
-        "victim": "resnet18 (random init)",
+        # (attack gradient cost is weight-independent), bf16 compute
+        "victim": ("resnet18 (random init, f32 smoke)" if small
+                   else "resnet18 (random init, bf16)"),
     }
     if total_flops:
         achieved = total_flops / med / n_chips

@@ -33,8 +33,22 @@ DATA = os.environ.get("ADVSHADOW_DATA", "/tmp/advshadow_realdata")
 CKPT = os.path.join(ART, "diffusion_run", "shadow64", "ckpt_last")
 VCKPT = os.path.join(ART, "victim_run", "victim64", "victim_resnet18.npz")
 
-CONFIGS = [("ddim", 50), ("dpmpp", 20), ("dpmpp", 10)]
+#: each row: sampler, steps, extra generate-CLI flags (guidance fixes for
+#: the deterministic 2M solver under CFG — round-2 verdict Weak #3)
+CONFIGS = [
+    {"sampler": "ddim", "steps": 50, "extra": []},
+    {"sampler": "dpmpp", "steps": 20, "extra": []},
+    {"sampler": "dpmpp", "steps": 10, "extra": []},
+    {"sampler": "dpmpp_sde", "steps": 20, "extra": []},
+    {"sampler": "dpmpp", "steps": 20,
+     "extra": ["--cfg_rescale", "0.7"], "tag_suffix": "_rescale"},
+    {"sampler": "dpmpp_sde", "steps": 20,
+     "extra": ["--cfg_rescale", "0.7"], "tag_suffix": "_rescale"},
+    {"sampler": "dpmpp", "steps": 20,
+     "extra": ["--cfg_interval", "50,800"], "tag_suffix": "_interval"},
+]
 N_CLS, PER_CLS = 10, 64
+CFG_SCALE = 3  # the generate CLI default == the paper's operating point
 
 
 def main():
@@ -46,9 +60,19 @@ def main():
 
     fid_common = ["--feature_victim", "resnet18", "--victim_ckpt", VCKPT,
                   "--num_classes", "10", "--image_size", "64"]
-    out = {"checkpoint": CKPT, "n_generated": N_CLS * PER_CLS, "rows": []}
-    for sampler, steps in CONFIGS:
-        tag = f"{sampler}{steps}"
+    out = {
+        "checkpoint": CKPT,
+        "n_generated": N_CLS * PER_CLS,
+        # full generation config so the evidence is self-describing
+        # (round-2 verdict Weak #5): every row shares these
+        "generation": {"cfg_scale": CFG_SCALE, "use_ema": True,
+                       "seed": "1000 + class_index", "image_size": 64,
+                       "classes": N_CLS, "per_class": PER_CLS},
+        "rows": [],
+    }
+    for cfg in CONFIGS:
+        sampler, steps = cfg["sampler"], cfg["steps"]
+        tag = f"{sampler}{steps}" + cfg.get("tag_suffix", "")
         flat = os.path.join(DATA, f"gen_{tag}")
         shutil.rmtree(flat, ignore_errors=True)
         os.makedirs(flat)
@@ -61,8 +85,9 @@ def main():
                 "--generate_name", f"g{c}", "--num_images", str(PER_CLS),
                 "--class_name", str(c), "--sample", sampler,
                 "--sample_steps", str(steps),
+                "--cfg_scale", str(CFG_SCALE),
                 "--use_ema", "1", "--seed", str(1000 + c),
-            ])
+            ] + cfg["extra"])
             if c > 0:  # class 0 pays the compile
                 warm_s += time.time() - t0
             del imgs
@@ -79,9 +104,14 @@ def main():
         row = {
             "sampler": sampler,
             "steps": steps,
+            "guidance_flags": cfg["extra"],
             "fid_generated_vs_train": round(float(fid["fid"]), 4),
             "victim_accuracy_on_generated": acc,
-            "warm_imgs_per_sec": round(PER_CLS * (N_CLS - 1) / warm_s, 2),
+            # whole generate-CLI invocations (ckpt load + model rebuild +
+            # PNG writes), NOT sampler-only — comparable across rows here
+            # but ~not~ to bench.py's jitted sampler-only numbers
+            "warm_imgs_per_sec_e2e_cli": round(
+                PER_CLS * (N_CLS - 1) / warm_s, 2),
         }
         out["rows"].append(row)
         print(json.dumps(row), file=sys.stderr)

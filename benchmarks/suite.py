@@ -76,7 +76,7 @@ def _setup():
     return small
 
 
-def _victim(name, image_size, num_classes=37, ckpt=None):
+def _victim(name, image_size, num_classes=37, ckpt=None, bf16=False):
     from advshadow_tpu.victims import make_victim_fn, make_victim_model
 
     model = make_victim_model(name, num_classes=num_classes)
@@ -87,7 +87,8 @@ def _victim(name, image_size, num_classes=37, ckpt=None):
     else:
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), jnp.zeros((1, image_size, image_size, 3)))
-    return make_victim_fn(model, variables)
+    return make_victim_fn(model, variables,
+                          compute_dtype=jnp.bfloat16 if bf16 else None)
 
 
 #: victim fine-tuned on the procedural dataset by
@@ -107,7 +108,7 @@ def config_single_224(small):
     size = 64 if small else 224
     cfg = (ShadowOptConfig(iterations=2, inner_iterations=2, inner_steps=4)
            if small else EVAL_CONFIG)
-    victim_fn = _victim("resnet18", size)
+    victim_fn = _victim("resnet18", size, bf16=not small)
     rng = jax.random.PRNGKey(0)
     image = jax.random.uniform(rng, (size, size, 3))
     mask = jnp.ones((size, size))
@@ -152,7 +153,7 @@ def config_batch64(small):
         rng, jnp.zeros((batch, size, size, 3)), jnp.zeros((batch,), jnp.int32), y)
     coeffs = make_diffusion(1000, "linear")
     denoise = make_denoise_fn(model.apply, params, y, 3.0)
-    victim_fn = _victim("resnet18", size)
+    victim_fn = _victim("resnet18", size, bf16=not small)
     masks = jnp.ones((batch, size, size))
 
     # two jit regions (generation, attack) — measured identical to a fused
@@ -216,7 +217,8 @@ def config_vit_victim(small):
     # rejects the payload with HTTP 413)
     @jax.jit
     def fn(variables, im, k):
-        vf = make_victim_fn(model, variables)
+        vf = make_victim_fn(model, variables,
+                            compute_dtype=None if small else jnp.bfloat16)
         return batched_optimize_shadow(vf, im, masks, targets, k, cfg).image
 
     fn(variables, imgs, rng).block_until_ready()

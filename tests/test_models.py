@@ -235,7 +235,7 @@ class TestFusedGroupNorm:
     def test_matches_flax_groupnorm_silu(self):
         from flax import linen as nn
 
-        from advshadow_tpu.ops.groupnorm import group_norm_silu_reference
+        from experiments.groupnorm_pallas import group_norm_silu_reference
 
         x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 64))
         scale = jax.random.normal(jax.random.PRNGKey(1), (64,)) * 0.1 + 1
@@ -255,7 +255,7 @@ class TestFusedGroupNorm:
     def test_pallas_kernel_interpret_parity(self):
         from jax.experimental.pallas import tpu as pltpu
 
-        from advshadow_tpu.ops.groupnorm import (
+        from experiments.groupnorm_pallas import (
             _gn_pallas,
             group_norm_silu_reference,
         )
@@ -270,7 +270,7 @@ class TestFusedGroupNorm:
                                    atol=5e-6)
 
     def test_gradients(self):
-        from advshadow_tpu.ops.groupnorm import fused_group_norm_silu
+        from experiments.groupnorm_pallas import fused_group_norm_silu
 
         x = jax.random.normal(jax.random.PRNGKey(4), (1, 4, 4, 32))
         scale = jnp.ones((32,))

