@@ -22,6 +22,10 @@ os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: the full test suite runs this worker under
+# heavy CPU contention; warm runs must not re-pay the train-step compile
+jax.config.update("jax_compilation_cache_dir", "/tmp/advshadow_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def main():

@@ -48,7 +48,7 @@ def test_two_process_distributed_train_step():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=360)
+            out, _ = p.communicate(timeout=900)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:

@@ -541,10 +541,12 @@ class TestDeployGeneratePath:
             name = data["image"][0]["image_name"]
             assert os.path.exists(tmp_path / "served" / name)
 
-            # the fast-sampler request path (sample_steps honored)
+            # the fast-sampler request path (sample_steps honored),
+            # with the round-3 guidance fixes on the SDE variant
             resp = send_request("localhost", server.port, {
-                "sample": "dpmpp", "sample_steps": 5, "num_images": 1,
-                "weight_path": ckpt,
+                "sample": "dpmpp_sde", "sample_steps": 5, "num_images": 1,
+                "weight_path": ckpt, "cfg_rescale": 0.7,
+                "cfg_interval": [50, 900],
                 "result_path": str(tmp_path / "served2"), "class_name": 1,
                 "use_ema": True,
             })
