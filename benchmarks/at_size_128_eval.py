@@ -1,0 +1,403 @@
+"""At-size (128 px) quality evaluation of the flagship shadow-diffusion run.
+
+The paper's core experiment is the 128 px conditional shadow-diffusion
+model (ref: ddim2/main2.py:118-209); its eval battery is ASR
+(ref: ASR_fast.py:101-133), PSNR/SSIM (ref: PSNR_SSIM_fast.py:38-66) and
+FID (ref: fid_fast.py:30-72).  Round 2 trained the model at size but only
+published 64 px quality numbers — this script runs the full battery at
+the paper's own resolution (round-2 verdict Missing #1):
+
+  A. held-out 128 px eval split (synthetic procedural data, disjoint
+     indices from the train split)
+  B. clean vs attacked ASR (targeted + untargeted, EVAL preset),
+     PSNR/SSIM, FID attacked-vs-clean
+  C. conditional generation (DDIM-50, EMA, CFG 3): FID
+     generated-vs-train, victim accuracy on generated, per-class grid
+  D. ASR/stealth intensity sweep (the tradeoff curve the reference
+     never plots)
+  E. loss-curve artifact parsed from the committed run logs
+
+Writes TRAINED128_r03.json (self-describing: every metric block records
+its full generation/attack config) plus artifacts under
+artifacts/at_size_128/.
+
+Usage: python benchmarks/at_size_128_eval.py   (TPU, ~15 min warm)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import re
+import shutil
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ART = os.path.join(REPO, "artifacts", "at_size_128")
+CKPT = os.path.join(ART, "diffusion_run", "shadow128", "ckpt_last")
+DATA = os.environ.get("ADVSHADOW_128_DATA", "/tmp/advshadow_128")
+SIZE, N_CLS, PER_CLS = 128, 10, 64
+INTENSITIES = [0.051, 0.15, 0.25, 0.33, 0.43, 0.60, 0.80]
+#: the EVAL preset's integrated-gradients path materialises 21 interpolation
+#: points per image through the victim fwd+bwd; at 128 px a chunk of 64
+#: (fine at 64 px) is an effective batch of 1344 and OOMs the chip's HBM —
+#: 16 keeps the working set ~4x smaller at the same MXU utilisation.
+ATTACK_CHUNK = int(os.environ.get("ADVSHADOW_ATTACK_CHUNK", "16"))
+
+
+def _victim_ckpt() -> str:
+    strong = os.path.join(ART, "victim_run", "victim128_strong",
+                          "victim_resnet18.npz")
+    if os.path.exists(strong):
+        return strong
+    return os.path.join(ART, "victim_run", "victim128",
+                        "victim_resnet18.pkl")
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def phase_data():
+    from advshadow_tpu.data.synthetic import generate_dataset
+
+    eval_root = os.path.join(DATA, "eval")
+    if not os.path.exists(os.path.join(eval_root, "labels.json")):
+        generate_dataset(eval_root, PER_CLS, SIZE, 0, start_index=1000)
+    log(f"[data] eval split at {eval_root}")
+    return eval_root
+
+
+def _load_eval(eval_root):
+    import jax.numpy as jnp
+
+    from advshadow_tpu.data import ShadowPairDataset
+
+    dataset = ShadowPairDataset(
+        os.path.join(eval_root, "images"), os.path.join(eval_root, "masks"),
+        SIZE, labels_json=os.path.join(eval_root, "labels.json"), seed=0)
+    items = [dataset[i] for i in range(len(dataset))]
+    imgs01 = (jnp.asarray(np.stack([it[0] for it in items])) + 1.0) / 2.0
+    masks = jnp.asarray(np.stack([it[1] for it in items]))
+    labels = jnp.asarray([it[2] for it in items], jnp.int32)
+    return imgs01, masks, labels
+
+
+def _victim_fn():
+    from advshadow_tpu.victims import load_variables, make_victim_fn, \
+        make_victim_model
+
+    vckpt = _victim_ckpt()
+    model = make_victim_model("resnet18", num_classes=N_CLS)
+    variables = load_variables(vckpt)
+    return make_victim_fn(model, variables), vckpt, model, variables
+
+
+def _attack(victim_fn, imgs01, masks, targets, rng, cfg, chunk=ATTACK_CHUNK):
+    import jax
+    import jax.numpy as jnp
+
+    from advshadow_tpu.attack import batched_optimize_shadow
+
+    chunks = []
+    for s in range(0, imgs01.shape[0], chunk):
+        rng, a_rng = jax.random.split(rng)
+        res = batched_optimize_shadow(
+            victim_fn, imgs01[s:s + chunk], masks[s:s + chunk],
+            targets[s:s + chunk], a_rng, cfg)
+        chunks.append(jax.block_until_ready(res.image))
+    return jnp.concatenate(chunks), rng
+
+
+def _chunked_logits(victim_fn, imgs01, chunk=128):
+    import jax.numpy as jnp
+
+    return jnp.concatenate([
+        victim_fn(imgs01[s0:s0 + chunk])
+        for s0 in range(0, int(imgs01.shape[0]), chunk)])
+
+
+def phase_attack(eval_root, metrics):
+    import jax
+    import jax.numpy as jnp
+
+    from advshadow_tpu.attack import EVAL_CONFIG
+    from advshadow_tpu.eval import batch_psnr_ssim, fid_from_features
+    from advshadow_tpu.victims.zoo import safe_argmax
+
+    imgs01, masks, labels = _load_eval(eval_root)
+    victim_fn, vckpt, _, _ = _victim_fn()
+    n = int(imgs01.shape[0])
+    clean_pred = safe_argmax(_chunked_logits(victim_fn, imgs01))
+    clean_acc = float(jnp.mean((clean_pred == labels).astype(jnp.float32)))
+    metrics["clean"] = {"accuracy": round(clean_acc, 4),
+                        "asr": round(1 - clean_acc, 4), "n": n}
+    log(f"[attack] clean acc {clean_acc:.4f} on {n} held-out 128px images")
+
+    rng = jax.random.PRNGKey(0)
+    attacked_imgs = None
+    for targeted in (False, True):
+        rng, t_rng = jax.random.split(rng)
+        if targeted:
+            offset = jax.random.randint(t_rng, labels.shape, 1, N_CLS)
+            targets = (labels + offset) % N_CLS
+        else:
+            targets = labels
+        t0 = time.time()
+        adv, rng = _attack(victim_fn, imgs01, masks, targets, rng,
+                           EVAL_CONFIG)
+        dt = time.time() - t0
+        pred = safe_argmax(_chunked_logits(victim_fn, adv))
+        acc = float(jnp.mean((pred == labels).astype(jnp.float32)))
+        ssim_v, psnr_v = batch_psnr_ssim(adv, imgs01)
+        key = "attacked_targeted" if targeted else "attacked"
+        metrics[key] = {
+            "accuracy": round(acc, 4), "asr": round(1 - acc, 4), "n": n,
+            "target_hit_rate": (round(float(jnp.mean(
+                (pred == targets).astype(jnp.float32))), 4)
+                if targeted else None),
+            "mean_ssim": round(float(jnp.mean(ssim_v)), 4),
+            "mean_psnr": round(float(jnp.mean(psnr_v)), 3),
+            "imgs_per_sec": round(n / dt, 2),
+            "config": {"preset": "eval", "targeted": targeted,
+                       "shadow_intensity": EVAL_CONFIG.shadow_intensity,
+                       "victim": os.path.relpath(vckpt, REPO)},
+        }
+        log(f"[attack] targeted={targeted}: asr={1 - acc:.4f} "
+            f"({n / dt:.1f} imgs/s)")
+        if not targeted:
+            attacked_imgs = adv
+
+    fa = _chunked_logits(victim_fn, imgs01)
+    fb = _chunked_logits(victim_fn, attacked_imgs)
+    metrics["fid_attacked_vs_clean"] = {
+        "fid": round(float(fid_from_features(fa, fb)), 6),
+        "features": "trained victim logits (n=%d)" % n,
+    }
+    # persist the untargeted attacked batch for visual evidence
+    vis_dir = os.path.join(ART, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+    from PIL import Image
+
+    row_clean = np.concatenate(
+        [np.asarray(imgs01[i]) for i in range(0, 10 * PER_CLS, PER_CLS)], 1)
+    row_adv = np.concatenate(
+        [np.asarray(attacked_imgs[i]) for i in range(0, 10 * PER_CLS,
+                                                     PER_CLS)], 1)
+    panel = (np.clip(np.concatenate([row_clean, row_adv], 0), 0, 1)
+             * 255).astype(np.uint8)
+    Image.fromarray(panel).save(os.path.join(vis_dir,
+                                             "attack_panel_128.png"))
+    return metrics
+
+
+def phase_generate(metrics):
+    from advshadow_tpu.cli.evaluate import main as evaluate_main
+    from advshadow_tpu.cli.generate import main as generate_main
+
+    gen_root = os.path.join(DATA, "generated128")
+    flat = os.path.join(DATA, "generated128_flat")
+    shutil.rmtree(gen_root, ignore_errors=True)
+    shutil.rmtree(flat, ignore_errors=True)
+    os.makedirs(flat)
+    rows = []
+    t_warm = 0.0
+    for c in range(N_CLS):
+        t0 = time.time()
+        imgs = generate_main([
+            "--weight_path", CKPT,
+            "--result_path", os.path.join(gen_root, f"cls{c}"),
+            "--generate_name", f"g{c}", "--num_images", str(PER_CLS),
+            "--class_name", str(c), "--sample", "ddim",
+            "--sample_steps", "50", "--cfg_scale", "3",
+            "--use_ema", "1", "--seed", str(1000 + c),
+        ])
+        if c > 0:
+            t_warm += time.time() - t0
+        rows.append(np.concatenate(list(np.asarray(imgs))[:10], axis=1))
+    from PIL import Image
+
+    vis_dir = os.path.join(ART, "vis")
+    os.makedirs(vis_dir, exist_ok=True)
+    Image.fromarray(np.concatenate(rows, axis=0)).save(
+        os.path.join(vis_dir, "sample_grid_128.png"))
+
+    for dirpath, _, files in os.walk(gen_root):
+        for fn in files:
+            if fn.endswith(".png") and "_" in fn:
+                shutil.copy(os.path.join(dirpath, fn),
+                            os.path.join(flat, fn))
+
+    vckpt = _victim_ckpt()
+    fid = evaluate_main(
+        ["fid", "--folder1", os.path.join(DATA, "train", "images"),
+         "--folder2", flat, "--feature_victim", "resnet18",
+         "--victim_ckpt", vckpt, "--num_classes", str(N_CLS),
+         "--image_size", str(SIZE)])
+    acc = _generated_accuracy(flat, vckpt)
+    metrics["generation"] = {
+        "fid_generated_vs_train": round(float(fid["fid"]), 4),
+        "victim_accuracy_on_generated": acc,
+        "warm_imgs_per_sec_e2e_cli": round(PER_CLS * (N_CLS - 1)
+                                           / max(t_warm, 1e-9), 2),
+        "config": {"sampler": "ddim", "sample_steps": 50, "cfg_scale": 3,
+                   "use_ema": True, "seed": "1000 + class_index",
+                   "classes": N_CLS, "per_class": PER_CLS,
+                   "image_size": SIZE},
+    }
+    log(f"[generate] fid={fid['fid']:.4f} victim_acc={acc}")
+    return metrics
+
+
+def _generated_accuracy(flat_gen, vckpt):
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from advshadow_tpu.victims import load_variables, make_victim_fn, \
+        make_victim_model
+    from advshadow_tpu.victims.zoo import safe_argmax
+
+    xs, ys = [], []
+    for fn in sorted(os.listdir(flat_gen)):
+        xs.append(np.asarray(Image.open(os.path.join(flat_gen, fn)),
+                             np.float32) / 255.0)
+        ys.append(int(fn.split("_")[0][1:]))
+    model = make_victim_model("resnet18", num_classes=N_CLS)
+    vf = make_victim_fn(model, load_variables(vckpt))
+    correct, total = 0.0, 0
+    arr = np.stack(xs)
+    for s in range(0, len(ys), 128):
+        pred = safe_argmax(vf(jnp.asarray(arr[s:s + 128])))
+        correct += float(jnp.sum((pred == jnp.asarray(
+            ys[s:s + 128])).astype(jnp.float32)))
+        total += len(ys[s:s + 128])
+    return round(correct / total, 4)
+
+
+def phase_sweep(eval_root, metrics):
+    import jax
+    import jax.numpy as jnp
+
+    from advshadow_tpu.attack import EVAL_CONFIG
+    from advshadow_tpu.eval import batch_psnr_ssim
+    from advshadow_tpu.victims.zoo import safe_argmax
+
+    imgs01, masks, labels = _load_eval(eval_root)
+    victim_fn, vckpt, _, _ = _victim_fn()
+    n = int(imgs01.shape[0])
+    rng = jax.random.PRNGKey(7)
+    rows = []
+    for targeted in (False, True):
+        rng, t_rng = jax.random.split(rng)
+        targets = ((labels + jax.random.randint(t_rng, labels.shape, 1,
+                                                N_CLS)) % N_CLS
+                   if targeted else labels)
+        for intensity in INTENSITIES:
+            cfg = dataclasses.replace(EVAL_CONFIG,
+                                      shadow_intensity=intensity)
+            t0 = time.time()
+            adv, rng = _attack(victim_fn, imgs01, masks, targets, rng, cfg)
+            dt = time.time() - t0
+            pred = safe_argmax(_chunked_logits(victim_fn, adv))
+            acc = float(jnp.mean((pred == labels).astype(jnp.float32)))
+            ssim_v, psnr_v = batch_psnr_ssim(adv, imgs01)
+            row = {"targeted": targeted, "intensity": intensity,
+                   "asr": round(1 - acc, 4), "accuracy": round(acc, 4),
+                   "target_hit_rate": (round(float(jnp.mean(
+                       (pred == targets).astype(jnp.float32))), 4)
+                       if targeted else None),
+                   "psnr": round(float(jnp.mean(psnr_v)), 3),
+                   "ssim": round(float(jnp.mean(ssim_v)), 4),
+                   "seconds": round(dt, 2)}
+            rows.append(row)
+            log(f"[sweep] {row}")
+    out = {"n": n, "image_size": SIZE, "preset": "eval",
+           "victim": os.path.relpath(_victim_ckpt(), REPO), "rows": rows}
+    with open(os.path.join(ART, "asr_intensity_128.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    metrics["intensity_sweep"] = {"rows": len(rows),
+                                  "file": "asr_intensity_128.json"}
+    return metrics
+
+
+EPOCH_RE = re.compile(r"epoch (\d+): loss=([0-9.]+)")
+
+
+def phase_loss_curve(metrics):
+    losses = {}
+    for name in ("run_log.txt", "resume_log.txt", "run_log_r3.txt"):
+        p = os.path.join(ART, name)
+        if not os.path.exists(p):
+            continue
+        for line in open(p, errors="replace"):
+            if "train_shadow" not in line:
+                continue
+            m = EPOCH_RE.search(line)
+            if m:
+                losses[int(m.group(1))] = float(m.group(2))
+    epochs = sorted(losses)
+    curve = [losses[e] for e in epochs]
+    with open(os.path.join(ART, "loss_curve_128.json"), "w") as f:
+        json.dump({"epochs": epochs, "loss": curve}, f)
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(6, 3.2), dpi=120)
+        ax.plot(epochs, curve, lw=1.2)
+        ax.set_xlabel("epoch")
+        ax.set_ylabel("diffusion MSE loss")
+        ax.set_yscale("log")
+        ax.grid(alpha=0.3)
+        fig.tight_layout()
+        fig.savefig(os.path.join(ART, "loss_curve_128.png"))
+        plt.close(fig)
+    except Exception as e:  # plot is best-effort
+        log(f"[plot] skipped: {e}")
+    metrics["training"] = {
+        "epochs_logged": len(epochs),
+        "final_epoch": epochs[-1] if epochs else None,
+        "final_loss": curve[-1] if curve else None,
+        "protocol": "ref tools/train.py:330 (300 epochs), batch 16, "
+                    "lr 3e-4, bf16 AMP, targeted shadow attack per batch",
+    }
+    return metrics
+
+
+def main(argv=None):
+    from advshadow_tpu.utils.runtime import runtime_init
+
+    runtime_init()
+    phases = list(argv if argv is not None else sys.argv[1:]) or [
+        "attack", "generate", "sweep", "loss"]
+    out_path = os.path.join(REPO, "TRAINED128_r03.json")
+    metrics = {"checkpoint": os.path.relpath(CKPT, REPO),
+               "image_size": SIZE}
+    if os.path.exists(out_path):  # accumulate across phase-wise runs
+        with open(out_path) as f:
+            metrics.update(json.load(f))
+    eval_root = phase_data()
+    if "attack" in phases:
+        phase_attack(eval_root, metrics)
+    if "generate" in phases:
+        phase_generate(metrics)
+    if "sweep" in phases:
+        phase_sweep(eval_root, metrics)
+    if "loss" in phases:
+        phase_loss_curve(metrics)
+    with open(out_path, "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(json.dumps({"metric": "at_size_128_eval", "phases": phases,
+                      "out": out_path}))
+
+
+if __name__ == "__main__":
+    main()

@@ -36,6 +36,11 @@ VCKPT = os.path.join(ART, "victim_run", "victim64", "victim_resnet18.npz")
 #: each row: sampler, steps, extra generate-CLI flags (guidance fixes for
 #: the deterministic 2M solver under CFG — round-2 verdict Weak #3)
 CONFIGS = [
+    # ddim-100 mirrors examples/real_training_run.py's generation config so
+    # TRAINED_r02.json's victim_accuracy_on_generated (0.398, ddim-100,
+    # seeds 0-9) and this file's ddim-50 row (0.719, seeds 1000-1009)
+    # become comparable under one protocol (round-2 verdict Weak #5)
+    {"sampler": "ddim", "steps": 100, "extra": []},
     {"sampler": "ddim", "steps": 50, "extra": []},
     {"sampler": "dpmpp", "steps": 20, "extra": []},
     {"sampler": "dpmpp", "steps": 10, "extra": []},
