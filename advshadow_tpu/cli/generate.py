@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--class_name", type=int, default=-1,
                    help="-1 = one image per class (ref tools/generate.py:71-74)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="f32",
+                   choices=["f32", "bf16"],
+                   help="network compute dtype; bf16 is the TPU-native "
+                        "fast path (params stay f32, activations bf16 — "
+                        "halves sampler HBM traffic and doubles MXU rate)")
     p.add_argument("--sample_steps", type=int, default=None,
                    help="DDIM/PLMS stride steps (default: the reference's "
                         "500-of-1000, ref model/samples/ddim.py:25)")
@@ -74,6 +79,8 @@ def generate(args) -> np.ndarray:
     net_kwargs = {}
     if meta.get("channel"):
         net_kwargs["channel"] = tuple(meta["channel"])
+    if getattr(args, "dtype", "f32") == "bf16":
+        net_kwargs["dtype"] = jnp.bfloat16
     model = make_network(network,
                          num_classes=num_classes if conditional else None,
                          act=act, **net_kwargs)

@@ -44,14 +44,14 @@ class SelfAttention(nn.Module):
         d = C // self.num_heads
         # ops.attention applies scale to both q and k; standard MHA scales
         # q alone by 1/sqrt(d) == scaling both by 1/d^0.25. Identical math.
-        qh = attn_ops._split_heads(q, self.num_heads)
-        kh = attn_ops._split_heads(k, self.num_heads)
-        vh = attn_ops._split_heads(v, self.num_heads)
+        # Operands stay head-FOLDED [B, T, C]: the op slices heads in
+        # VMEM, avoiding 8x-lane-padded [B*H, T, d] HBM tensors (d=16 at
+        # this family's full-res layers).
         use_pallas = self.use_pallas
         if use_pallas is None:
-            use_pallas = attn_ops._use_pallas_auto(H * W, d)
-        out = attn_ops._attention(qh, kh, vh, d ** -0.25, bool(use_pallas))
-        out = attn_ops._merge_heads(out, B, self.num_heads)
+            use_pallas = attn_ops._use_pallas_auto(H * W, d, self.num_heads)
+        out = attn_ops._attention(q, k, v, self.num_heads, d ** -0.25,
+                                  bool(use_pallas))
         out = nn.Dense(C, dtype=self.dtype, param_dtype=self.param_dtype, name="out_proj")(out)
 
         h = out + tokens

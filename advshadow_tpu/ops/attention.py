@@ -2,17 +2,22 @@
 
 The reference computes spatial attention as a dense per-head einsum with a
 double-sqrt scale applied to both q and k (ref: diff_model.py:117-127).
-Here the forward pass runs as a Pallas kernel that keeps K/V resident in
-VMEM and streams q blocks through the MXU, with softmax fused in — one HBM
-round-trip for the whole attention instead of materializing the [T, T]
-score matrix in HBM.  The backward pass recomputes scores in plain XLA
-(rematerialization: trade FLOPs for HBM), exposed via ``jax.custom_vjp`` so
-the op is fully differentiable for both diffusion training and the
-attack's input gradients.
+Here the forward pass runs as a streaming-flash Pallas kernel: q blocks
+stay resident while K/V stream through VMEM block by block with an online
+(running max / running sum) softmax, so neither the [T, T] score matrix
+nor the full K/V ever sits in HBM or VMEM at once.  The backward pass
+recomputes scores in plain XLA (rematerialization: trade FLOPs for HBM),
+exposed via ``jax.custom_vjp`` so the op is fully differentiable for both
+diffusion training and the attack's input gradients.
 
-Token counts in this workload are modest (T = H*W <= 16384, head_dim <=
-1024), so a single-pass kernel with full K/V in VMEM is the right design
-point; the q-block grid keeps the score tile at [BLOCK_Q, T] in VMEM.
+Layout: the kernel takes HEAD-FOLDED operands [B, T, C] (C = heads * d)
+and slices heads with static offsets inside VMEM.  This is the critical
+TPU detail for this model family: its full-resolution attention layers
+have tiny head dims (e.g. the cond-UNet's sa6 at 128 px: T = 16384,
+d = 16), and any HBM tensor shaped [..., 16] is padded 8x by the 128-lane
+tile — a head-split [B*H, T, d] Q/K/V triple at batch 128 is 12 GB of
+padding for 1.5 GB of data, an instant OOM.  Folded [B, T, 64] pads only
+2x, and [B, T, >=128] not at all.
 """
 
 from __future__ import annotations
@@ -35,6 +40,7 @@ except Exception:  # pragma: no cover
 __all__ = ["spatial_attention", "attention_reference"]
 
 _BLOCK_Q = 256
+_BLOCK_KV = 1024
 _LANE = 128
 
 
@@ -64,34 +70,63 @@ def attention_reference(
 
 
 # ---------------------------------------------------------------------------
-# Pallas kernel
+# Pallas kernel: streaming flash attention over head-folded operands
 # ---------------------------------------------------------------------------
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, t_actual: int, scale: float):
-    """One (batch-head, q-block) program: softmax(q k^T) v.
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
+                  num_heads: int, head_dim: int, t_actual: int,
+                  n_kv: int, scale: float):
+    """One (batch, q-block, kv-block) program step.
 
-    Shapes (VMEM): q [1, BLOCK_Q, D], k/v [1, T_pad, D], o [1, BLOCK_Q, D].
-    Padding columns beyond ``t_actual`` are masked to -inf before softmax;
-    padded head dims are zero so they add nothing to the dot products.
+    VMEM blocks: q/o [1, BQ, C], k/v [1, BKV, C]; scratch m/l [BQ, H]
+    (running max / running sum per head), acc [BQ, C] (unnormalized
+    output).  The kv grid dim is innermost and "arbitrary": scratch
+    carries across it, j==0 initializes, j==n_kv-1 normalizes and writes.
+    Heads are static lane slices — no per-head HBM tensors exist.
     """
-    q = q_ref[0].astype(jnp.float32) * scale
-    k = k_ref[0].astype(jnp.float32) * scale
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BLOCK_Q, T_pad]
-    t_pad = logits.shape[-1]
-    if t_pad != t_actual:
-        col = jax.lax.broadcasted_iota(jnp.int32, logits.shape, 1)
-        logits = jnp.where(col < t_actual, logits, -jnp.inf)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0].astype(jnp.float32) * scale      # [BQ, C]
+    k = k_ref[0].astype(jnp.float32) * scale      # [BKV, C]
+    v = v_ref[0].astype(jnp.float32)
+    bq, bkv = q.shape[0], k.shape[0]
+    # zero-padded kv rows must not contribute probability mass
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + j * bkv
+    invalid = col >= t_actual
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        s = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # [BQ, BKV]
+        s = jnp.where(invalid, -jnp.inf, s)
+        m_prev = m_ref[:, h]                       # [BQ]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new[:, None])
+        l_ref[:, h] = l_ref[:, h] * alpha + jnp.sum(p, axis=-1)
+        pv = jax.lax.dot_general(
+            p, v[:, sl], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # [BQ, d]
+        acc_ref[:, sl] = acc_ref[:, sl] * alpha[:, None] + pv
+        m_ref[:, h] = m_new
+
+    @pl.when(j == n_kv - 1)
+    def _finalize():
+        for h in range(num_heads):
+            sl = slice(h * head_dim, (h + 1) * head_dim)
+            o_ref[0, :, sl] = (
+                acc_ref[:, sl] / l_ref[:, h][:, None]
+            ).astype(o_ref.dtype)
 
 
 def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
@@ -104,39 +139,60 @@ def _pad_to(x: jax.Array, axis: int, multiple: int) -> jax.Array:
     return jnp.pad(x, widths)
 
 
-def _attention_pallas(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: float
-) -> jax.Array:
-    BH, T, d = q.shape
-    block_q = min(_BLOCK_Q, max(_LANE, 1 << (T - 1).bit_length()))
-    qp = _pad_to(_pad_to(q, 1, block_q), 2, _LANE)
-    kp = _pad_to(_pad_to(k, 1, _LANE), 2, _LANE)
-    vp = _pad_to(_pad_to(v, 1, _LANE), 2, _LANE)
-    T_q, D = qp.shape[1], qp.shape[2]
-    T_kv = kp.shape[1]
+def _block_sizes(T: int) -> tuple[int, int]:
+    pow2 = 1 << max(T - 1, 1).bit_length()
+    return min(_BLOCK_Q, max(_LANE, pow2)), min(_BLOCK_KV, max(_LANE, pow2))
 
-    grid = (BH, T_q // block_q)
+
+#: tests flip this to run the kernel under the Pallas interpreter on CPU
+_INTERPRET = False
+
+
+def _attention_flash(
+    q: jax.Array, k: jax.Array, v: jax.Array, num_heads: int, scale: float
+) -> jax.Array:
+    """Streaming flash attention on folded [B, T, C] operands."""
+    B, T, C = q.shape
+    d = C // num_heads
+    bq, bkv = _block_sizes(T)
+    qp = _pad_to(q, 1, bq)
+    kp = _pad_to(k, 1, bkv)
+    vp = _pad_to(v, 1, bkv)
+    n_q = qp.shape[1] // bq
+    n_kv = kp.shape[1] // bkv
+
     out = pl.pallas_call(
-        functools.partial(_attn_kernel, t_actual=T, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((BH, T_q, D), q.dtype),
-        grid=grid,
+        functools.partial(_flash_kernel, num_heads=num_heads, head_dim=d,
+                          t_actual=T, n_kv=n_kv, scale=scale),
+        out_shape=jax.ShapeDtypeStruct((B, qp.shape[1], C), q.dtype),
+        grid=(B, n_q, n_kv),
         in_specs=[
-            pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, bq, C), lambda b, i, j: (b, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T_kv, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, bkv, C), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, T_kv, D), lambda b, i: (b, 0, 0),
+            pl.BlockSpec((1, bkv, C), lambda b, i, j: (b, j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, D), lambda b, i: (b, i, 0),
+        out_specs=pl.BlockSpec((1, bq, C), lambda b, i, j: (b, i, 0),
                                memory_space=pltpu.VMEM),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * BH * T_q * T_kv * D,
-            bytes_accessed=(qp.size + kp.size + vp.size) * qp.dtype.itemsize,
-            transcendentals=BH * T_q * T_kv,
+        scratch_shapes=[
+            pltpu.VMEM((bq, num_heads), jnp.float32),   # running max
+            pltpu.VMEM((bq, num_heads), jnp.float32),   # running sum
+            pltpu.VMEM((bq, C), jnp.float32),           # output acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * qp.shape[1] * kp.shape[1] * C,
+            bytes_accessed=(qp.size + (kp.size + vp.size) * n_q
+                            + qp.size) * qp.dtype.itemsize,
+            transcendentals=B * qp.shape[1] * kp.shape[1] * num_heads,
+        ),
+        interpret=_INTERPRET,
     )(qp, kp, vp)
-    return out[:, :T, :d]
+    return out[:, :T, :]
 
 
 #: below this token count XLA's plain einsum attention wins: measured on
@@ -147,33 +203,49 @@ def _attention_pallas(
 _PALLAS_MIN_TOKENS = 2048
 
 
-def _use_pallas_auto(T: int, d: int) -> bool:
+def _use_pallas_auto(T: int, d: int, num_heads: int = 1) -> bool:
     """Auto rule: flash kernel only where it earns its keep (large token
-    counts whose [T, T] scores XLA would materialize), and only when the
-    kernel fits: full K/V + a [BLOCK_Q, T] score tile in VMEM."""
+    counts whose [T, T] scores XLA would materialize), and only when one
+    program's blocks + scratch fit VMEM.  K/V stream, so the bound no
+    longer scales with T."""
     if not _HAS_PALLAS or T < _PALLAS_MIN_TOKENS:
         return False
-    d_pad = -(-d // _LANE) * _LANE
-    t_pad = -(-T // _LANE) * _LANE
-    vmem = (2 * t_pad * d_pad + _BLOCK_Q * t_pad + _BLOCK_Q * d_pad) * 4
+    C_pad = -(-(num_heads * d) // _LANE) * _LANE
+    bq, bkv = _block_sizes(T)
+    vmem = (2 * bq * C_pad          # q block + output block
+            + 2 * bkv * C_pad      # k + v blocks
+            + bq * C_pad           # acc scratch
+            + bq * bkv             # score tile (transient)
+            ) * 4
     return vmem < 12 * 1024 * 1024
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _attention(q, k, v, scale: float, use_pallas: bool):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attention(q, k, v, num_heads: int, scale: float, use_pallas: bool):
+    """Multi-head attention core on folded [B, T, C] operands."""
     if use_pallas:
         # Select per lowering platform: the Pallas kernel on TPU, the XLA
         # einsum path everywhere else (CPU test meshes, interpreters).
         return jax.lax.platform_dependent(
             q, k, v,
-            tpu=functools.partial(_attention_pallas, scale=scale),
-            default=functools.partial(attention_reference, scale=scale),
+            tpu=functools.partial(_attention_flash, num_heads=num_heads,
+                                  scale=scale),
+            default=functools.partial(_attention_xla, num_heads=num_heads,
+                                      scale=scale),
         )
-    return attention_reference(q, k, v, scale)
+    return _attention_xla(q, k, v, num_heads=num_heads, scale=scale)
 
 
-def _attention_fwd(q, k, v, scale: float, use_pallas: bool):
-    return _attention(q, k, v, scale, use_pallas), (q, k, v)
+def _attention_xla(q, k, v, num_heads: int, scale: float):
+    B = q.shape[0]
+    out = attention_reference(
+        _split_heads(q, num_heads), _split_heads(k, num_heads),
+        _split_heads(v, num_heads), scale)
+    return _merge_heads(out, B, num_heads)
+
+
+def _attention_fwd(q, k, v, num_heads: int, scale: float, use_pallas: bool):
+    return _attention(q, k, v, num_heads, scale, use_pallas), (q, k, v)
 
 
 #: largest [BH, T, T] f32 score temp the one-shot backward may allocate;
@@ -183,7 +255,7 @@ def _attention_fwd(q, k, v, scale: float, use_pallas: bool):
 _BWD_TEMP_BYTES = 512 * 1024 * 1024
 
 
-def _attention_bwd(scale: float, use_pallas: bool, res, g):
+def _attention_bwd(num_heads: int, scale: float, use_pallas: bool, res, g):
     """Recompute-based backward in plain XLA (float32 accumulation).
 
     One-shot when the [BH, T, T] score temp is small; otherwise a
@@ -191,7 +263,12 @@ def _attention_bwd(scale: float, use_pallas: bool, res, g):
     [BH, cq, T] score slab, emits dq for the block, and accumulates
     dk/dv — peak temp bounded by ``_BWD_TEMP_BYTES`` regardless of T.
     """
-    q, k, v = res
+    qm, km, vm = res
+    B = qm.shape[0]
+    q = _split_heads(qm, num_heads)
+    k = _split_heads(km, num_heads)
+    v = _split_heads(vm, num_heads)
+    g = _split_heads(g, num_heads)
     BH, T, d = q.shape
     qf = q.astype(jnp.float32) * scale
     kf = k.astype(jnp.float32) * scale
@@ -206,36 +283,39 @@ def _attention_bwd(scale: float, use_pallas: bool, res, g):
         dlogits = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
         dq = jnp.einsum("bts,bsd->btd", dlogits, kf) * scale
         dk = jnp.einsum("bts,btd->bsd", dlogits, qf) * scale
-        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    else:
+        # ---- chunked: scan over query blocks -------------------------
+        cq = max(_LANE, _BWD_TEMP_BYTES // (4 * BH * T) // _LANE * _LANE)
+        cq = min(cq, T)
+        t_pad = -(-T // cq) * cq
+        # zero-padded q rows give uniform softmax rows but a zero
+        # cotangent, so dlogits vanishes and they contribute nothing to
+        # dk/dv
+        qp = _pad_to(qf, 1, cq).reshape(BH, t_pad // cq, cq, d)
+        gp = _pad_to(gf, 1, cq).reshape(BH, t_pad // cq, cq, d)
 
-    # ---- chunked: scan over query blocks -----------------------------
-    cq = max(_LANE, _BWD_TEMP_BYTES // (4 * BH * T) // _LANE * _LANE)
-    cq = min(cq, T)
-    t_pad = -(-T // cq) * cq
-    # zero-padded q rows give uniform softmax rows but a zero cotangent,
-    # so dlogits vanishes and they contribute nothing to dk/dv
-    qp = _pad_to(qf, 1, cq).reshape(BH, t_pad // cq, cq, d)
-    gp = _pad_to(gf, 1, cq).reshape(BH, t_pad // cq, cq, d)
-
-    def step(carry, xs):
-        dk_acc, dv_acc = carry
-        qc, gc = xs                                     # [BH, cq, d]
-        logits = jnp.einsum("bqd,bsd->bqs", qc, kf,
+        def step(carry, xs):
+            dk_acc, dv_acc = carry
+            qc, gc = xs                                 # [BH, cq, d]
+            logits = jnp.einsum("bqd,bsd->bqs", qc, kf,
+                                preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(logits, axis=-1)
+            dv_acc = dv_acc + jnp.einsum("bqs,bqd->bsd", p, gc)
+            dp = jnp.einsum("bqd,bsd->bqs", gc, vf,
                             preferred_element_type=jnp.float32)
-        p = jax.nn.softmax(logits, axis=-1)
-        dv_acc = dv_acc + jnp.einsum("bqs,bqd->bsd", p, gc)
-        dp = jnp.einsum("bqd,bsd->bqs", gc, vf,
-                        preferred_element_type=jnp.float32)
-        dlogits = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
-        dqc = jnp.einsum("bqs,bsd->bqd", dlogits, kf) * scale
-        dk_acc = dk_acc + jnp.einsum("bqs,bqd->bsd", dlogits, qc) * scale
-        return (dk_acc, dv_acc), dqc
+            dlogits = p * (dp - jnp.sum(p * dp, axis=-1, keepdims=True))
+            dqc = jnp.einsum("bqs,bsd->bqd", dlogits, kf) * scale
+            dk_acc = dk_acc + jnp.einsum("bqs,bqd->bsd", dlogits, qc) * scale
+            return (dk_acc, dv_acc), dqc
 
-    (dk, dv), dqs = jax.lax.scan(
-        step, (jnp.zeros_like(kf), jnp.zeros_like(vf)),
-        (qp.transpose(1, 0, 2, 3), gp.transpose(1, 0, 2, 3)))
-    dq = dqs.transpose(1, 0, 2, 3).reshape(BH, t_pad, d)[:, :T]
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+        (dk, dv), dqs = jax.lax.scan(
+            step, (jnp.zeros_like(kf), jnp.zeros_like(vf)),
+            (qp.transpose(1, 0, 2, 3), gp.transpose(1, 0, 2, 3)))
+        dq = dqs.transpose(1, 0, 2, 3).reshape(BH, t_pad, d)[:, :T]
+
+    return (_merge_heads(dq.astype(qm.dtype), B, num_heads),
+            _merge_heads(dk.astype(km.dtype), B, num_heads),
+            _merge_heads(dv.astype(vm.dtype), B, num_heads))
 
 
 _attention.defvjp(_attention_fwd, _attention_bwd)
@@ -261,8 +341,6 @@ def spatial_attention(
     B, T, C = q.shape
     d = C // num_heads
     scale = 1.0 / math.sqrt(math.sqrt(d))
-    qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
     if use_pallas is None:
-        use_pallas = _use_pallas_auto(T, d)
-    out = _attention(qh, kh, vh, scale, bool(use_pallas))
-    return _merge_heads(out, B, num_heads)
+        use_pallas = _use_pallas_auto(T, d, num_heads)
+    return _attention(q, k, v, num_heads, scale, bool(use_pallas))

@@ -208,19 +208,30 @@ def phase_generate(metrics):
     os.makedirs(flat)
     rows = []
     t_warm = 0.0
+    # 64 images/class in sub-batches of 16: the cond-UNet's full-res sa6
+    # (16384 tokens, head_dim 16) pads its attention operands 8x in the
+    # 128-lane tiling, so a single CFG-2N batch of 128 overflows HBM.
+    # bf16 compute halves that footprint and is the TPU-native fast path.
+    sub = 16
+    n_sub = PER_CLS // sub
     for c in range(N_CLS):
-        t0 = time.time()
-        imgs = generate_main([
-            "--weight_path", CKPT,
-            "--result_path", os.path.join(gen_root, f"cls{c}"),
-            "--generate_name", f"g{c}", "--num_images", str(PER_CLS),
-            "--class_name", str(c), "--sample", "ddim",
-            "--sample_steps", "50", "--cfg_scale", "3",
-            "--use_ema", "1", "--seed", str(1000 + c),
-        ])
-        if c > 0:
-            t_warm += time.time() - t0
-        rows.append(np.concatenate(list(np.asarray(imgs))[:10], axis=1))
+        for j in range(n_sub):
+            t0 = time.time()
+            imgs = generate_main([
+                "--weight_path", CKPT,
+                "--result_path",
+                os.path.join(gen_root, f"cls{c}", f"sub{j}"),
+                "--generate_name", f"g{c}", "--num_images", str(sub),
+                "--class_name", str(c), "--sample", "ddim",
+                "--sample_steps", "50", "--cfg_scale", "3",
+                "--dtype", "bf16",
+                "--use_ema", "1", "--seed", str(1000 + c * n_sub + j),
+            ])
+            if c > 0 or j > 0:
+                t_warm += time.time() - t0
+            if j == 0:
+                rows.append(
+                    np.concatenate(list(np.asarray(imgs))[:10], axis=1))
     from PIL import Image
 
     vis_dir = os.path.join(ART, "vis")
@@ -228,11 +239,15 @@ def phase_generate(metrics):
     Image.fromarray(np.concatenate(rows, axis=0)).save(
         os.path.join(vis_dir, "sample_grid_128.png"))
 
-    for dirpath, _, files in os.walk(gen_root):
-        for fn in files:
-            if fn.endswith(".png") and "_" in fn:
-                shutil.copy(os.path.join(dirpath, fn),
-                            os.path.join(flat, fn))
+    for c in range(N_CLS):
+        idx = 0
+        for dirpath, _, files in sorted(
+                os.walk(os.path.join(gen_root, f"cls{c}"))):
+            for fn in sorted(files):
+                if fn.endswith(".png") and "_" in fn:  # singles, not grids
+                    shutil.copy(os.path.join(dirpath, fn),
+                                os.path.join(flat, f"g{c}_{idx}.png"))
+                    idx += 1
 
     vckpt = _victim_ckpt()
     fid = evaluate_main(
@@ -244,10 +259,12 @@ def phase_generate(metrics):
     metrics["generation"] = {
         "fid_generated_vs_train": round(float(fid["fid"]), 4),
         "victim_accuracy_on_generated": acc,
-        "warm_imgs_per_sec_e2e_cli": round(PER_CLS * (N_CLS - 1)
+        "warm_imgs_per_sec_e2e_cli": round((PER_CLS * N_CLS - sub)
                                            / max(t_warm, 1e-9), 2),
         "config": {"sampler": "ddim", "sample_steps": 50, "cfg_scale": 3,
-                   "use_ema": True, "seed": "1000 + class_index",
+                   "use_ema": True, "dtype": "bf16",
+                   "seed": "1000 + 4*class_index + sub_batch",
+                   "sub_batch": sub,
                    "classes": N_CLS, "per_class": PER_CLS,
                    "image_size": SIZE},
     }

@@ -189,27 +189,33 @@ class TestSubpixelUpsample:
 
 class TestPallasKernelInterpret:
     def test_kernel_matches_reference_in_interpret_mode(self):
-        """Run the actual Pallas attention kernel (interpret mode, CPU) and
-        compare against the XLA reference path — locks the kernel's
-        padding/masking/softmax logic into CI without TPU hardware."""
-        from jax.experimental.pallas import tpu as pltpu
-
-        from advshadow_tpu.ops.attention import (
-            _attention_pallas,
-            attention_reference,
-        )
+        """Run the actual Pallas streaming-flash kernel (interpret mode,
+        CPU) and compare against the XLA einsum path — locks the kernel's
+        head-slicing/padding/online-softmax logic into CI without TPU
+        hardware.  Shapes exercise ragged T (kv-block masking), small
+        head dims (the cond-UNet's d=16 full-res layers), and multi-step
+        kv streaming (T spanning several kv blocks)."""
+        import advshadow_tpu.ops.attention as A
 
         rng = jax.random.PRNGKey(0)
-        # T=100, d=48: exercises both seq and head-dim padding paths
-        q = jax.random.normal(rng, (2, 100, 48))
-        k = jax.random.normal(jax.random.fold_in(rng, 1), (2, 100, 48))
-        v = jax.random.normal(jax.random.fold_in(rng, 2), (2, 100, 48))
-        scale = 0.37
-        with pltpu.force_tpu_interpret_mode():
-            out = _attention_pallas(q, k, v, scale)
-        ref = attention_reference(q, k, v, scale)
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                   atol=2e-5)
+        cases = [
+            (2, 100, 48, 3),     # ragged T, d=16 head slices
+            (2, 100, 48, 1),     # single head, d=48 padding
+            (1, 2048 + 57, 64, 4),   # multi-kv-block streaming, ragged
+        ]
+        for B, T, C, H in cases:
+            q = jax.random.normal(rng, (B, T, C))
+            k = jax.random.normal(jax.random.fold_in(rng, 1), (B, T, C))
+            v = jax.random.normal(jax.random.fold_in(rng, 2), (B, T, C))
+            scale = 0.37
+            try:
+                A._INTERPRET = True
+                out = A._attention_flash(q, k, v, H, scale)
+            finally:
+                A._INTERPRET = False
+            ref = A._attention_xla(q, k, v, num_heads=H, scale=scale)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5)
 
     def test_chunked_backward_matches_oneshot(self, monkeypatch):
         """Above _BWD_TEMP_BYTES the custom-VJP backward scans over query
@@ -223,9 +229,9 @@ class TestPallasKernelInterpret:
         q, k, v, g = (jax.random.normal(jax.random.fold_in(rng, i),
                                         (3, 200, 16)) for i in range(4))
         scale = 0.5
-        full = A._attention_bwd(scale, False, (q, k, v), g)
-        monkeypatch.setattr(A, "_BWD_TEMP_BYTES", 4 * 3 * 200 * 64)
-        chunked = A._attention_bwd(scale, False, (q, k, v), g)
+        full = A._attention_bwd(2, scale, False, (q, k, v), g)
+        monkeypatch.setattr(A, "_BWD_TEMP_BYTES", 4 * 6 * 200 * 64)
+        chunked = A._attention_bwd(2, scale, False, (q, k, v), g)
         for a, b in zip(full, chunked):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5)
