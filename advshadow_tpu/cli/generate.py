@@ -61,6 +61,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_steps", type=int, default=None,
                    help="DDIM/PLMS stride steps (default: the reference's "
                         "500-of-1000, ref model/samples/ddim.py:25)")
+    p.add_argument("--sample_method", type=str, default=None,
+                   choices=["uniform", "quad", "logsnr", "karras"],
+                   help="dpmpp/dpmpp_sde timestep spacing: uniform/quad "
+                        "(the reference's DDIM strides, diff_model.py:"
+                        "427-438) or logsnr/karras (few-step grids "
+                        "beyond the ref)")
     return p
 
 
@@ -109,6 +115,9 @@ def generate(args) -> np.ndarray:
     if args.sample_steps and sample in ("ddim", "plms", "dpmpp",
                                         "dpmpp_sde"):
         kwargs["sample_steps"] = args.sample_steps
+    if getattr(args, "sample_method", None) and sample in ("dpmpp",
+                                                           "dpmpp_sde"):
+        kwargs["method"] = args.sample_method
     if sample == "plms" and conditional:
         # the reference's PLMS bootstrap forward skips CFG
         # (ref: model/samples/plms.py:104-108)

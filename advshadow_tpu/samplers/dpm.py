@@ -54,6 +54,46 @@ from advshadow_tpu.samplers.ddim import ddim_timestep_sequence
 __all__ = ["dpmpp2m_sample", "dpmpp2m_sde_sample", "dpmpp2m_tables"]
 
 
+def _boundary_times(
+    alphas_cumprod: np.ndarray, timesteps: int, sample_steps: int,
+    method: str,
+) -> np.ndarray:
+    """Descending N+1 timestep boundaries (ending at 0) for the 2M scan.
+
+    ``uniform``/``quad`` reuse the reference's DDIM stride
+    (ref: diff_model.py:427-438).  Two spacings beyond the reference
+    target the few-step regime, where *where* the solver spends its
+    steps dominates quality:
+
+    - ``logsnr``: boundaries uniform in lambda = log(alpha/sigma)
+      (Lu et al. 2206.00927 Sec. 3.3's recommended grid) — equal
+      solver-space intervals, so the multistep coefficient c_i = 1/2
+      everywhere.
+    - ``karras``: boundaries uniform in the EDM noise scale
+      sigma_edm^(1/rho), rho = 7 (Karras et al. 2206.00364 eq. 5),
+      mapped to the discrete t grid by nearest lambda — concentrates
+      steps near the clean-data end.
+    """
+    if method in ("uniform", "quad"):
+        seq = ddim_timestep_sequence(timesteps, sample_steps, method)
+        return np.concatenate([seq[::-1], [0]]).astype(np.int64)
+    abar = np.asarray(alphas_cumprod, np.float64)
+    lam = 0.5 * (np.log(abar) - np.log1p(-abar))  # monotone decreasing in t
+    t_hi = timesteps - 1
+    if method == "logsnr":
+        target = np.linspace(lam[t_hi], lam[0], sample_steps + 1)
+    elif method == "karras":
+        rho = 7.0
+        sig = np.exp(-lam)                        # EDM sigma = sigma/alpha
+        grid = np.linspace(sig[t_hi] ** (1 / rho), sig[0] ** (1 / rho),
+                           sample_steps + 1)
+        target = -np.log(grid**rho)
+    else:
+        raise NotImplementedError(
+            f'There is no dpmpp discretization method called "{method}"')
+    return np.abs(lam[None, :] - target[:, None]).argmin(axis=1)
+
+
 def dpmpp2m_tables(
     alphas_cumprod: np.ndarray, timesteps: int, sample_steps: int,
     method: str = "uniform",
@@ -63,14 +103,13 @@ def dpmpp2m_tables(
     Returns int32 ``t`` (denoiser conditioning per step, high -> low) and
     f32 ``alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c, ratio_sde,
     alpha_phi_sde, noise_sde`` arrays of length ``n_steps`` (boundary grid
-    is the DDIM uniform/quad stride plus a terminal t=0, deduplicated —
-    the quad grid's int cast can repeat timesteps, which would make
+    per :func:`_boundary_times`, deduplicated — the quad grid's int cast
+    and the nearest-t mapping can repeat timesteps, which would make
     ``h = 0`` and divide the 2M coefficient by zero; after dedup
     ``n_steps`` may be smaller than ``sample_steps``).
     """
-    seq = ddim_timestep_sequence(timesteps, sample_steps, method)
-    times = np.concatenate([seq[::-1], [0]]).astype(np.int64)  # N+1 bounds
-    # strictly-decreasing dedup (quad grids repeat small timesteps)
+    times = _boundary_times(alphas_cumprod, timesteps, sample_steps, method)
+    # strictly-decreasing dedup (degenerate grids repeat timesteps)
     times = -np.unique(-times)
     if times.size < 2:
         raise ValueError(

@@ -132,7 +132,7 @@ def phase_attack(eval_root, metrics):
     from advshadow_tpu.victims.zoo import safe_argmax
 
     imgs01, masks, labels = _load_eval(eval_root)
-    victim_fn, vckpt, _, _ = _victim_fn()
+    victim_fn, vckpt, model, variables = _victim_fn()
     n = int(imgs01.shape[0])
     clean_pred = safe_argmax(_chunked_logits(victim_fn, imgs01))
     clean_acc = float(jnp.mean((clean_pred == labels).astype(jnp.float32)))
@@ -142,43 +142,61 @@ def phase_attack(eval_root, metrics):
 
     rng = jax.random.PRNGKey(0)
     attacked_imgs = None
-    for targeted in (False, True):
-        rng, t_rng = jax.random.split(rng)
-        if targeted:
-            offset = jax.random.randint(t_rng, labels.shape, 1, N_CLS)
-            targets = (labels + offset) % N_CLS
-        else:
-            targets = labels
-        t0 = time.time()
-        adv, rng = _attack(victim_fn, imgs01, masks, targets, rng,
-                           EVAL_CONFIG)
-        dt = time.time() - t0
-        pred = safe_argmax(_chunked_logits(victim_fn, adv))
-        acc = float(jnp.mean((pred == labels).astype(jnp.float32)))
-        ssim_v, psnr_v = batch_psnr_ssim(adv, imgs01)
-        key = "attacked_targeted" if targeted else "attacked"
-        metrics[key] = {
-            "accuracy": round(acc, 4), "asr": round(1 - acc, 4), "n": n,
-            "target_hit_rate": (round(float(jnp.mean(
-                (pred == targets).astype(jnp.float32))), 4)
-                if targeted else None),
-            "mean_ssim": round(float(jnp.mean(ssim_v)), 4),
-            "mean_psnr": round(float(jnp.mean(psnr_v)), 3),
-            "imgs_per_sec": round(n / dt, 2),
-            "config": {"preset": "eval", "targeted": targeted,
-                       "shadow_intensity": EVAL_CONFIG.shadow_intensity,
-                       "victim": os.path.relpath(vckpt, REPO)},
-        }
-        log(f"[attack] targeted={targeted}: asr={1 - acc:.4f} "
-            f"({n / dt:.1f} imgs/s)")
-        if not targeted:
-            attacked_imgs = adv
+    # preset-default radius 15 (the reference's absolute default,
+    # ref ddim2/test.py:499-509) AND its area-equivalent scaling to
+    # 128 px (15 * 128/64 = 30): the 64 px battery's shadow covers
+    # (15/64)^2 of the image; radius 15 at 128 px covers 4x less, so
+    # the r30 rows are the apples-to-apples comparison with
+    # TRAINED_r02.json.
+    import dataclasses as _dc
 
-    fa = _chunked_logits(victim_fn, imgs01)
-    fb = _chunked_logits(victim_fn, attacked_imgs)
+    for radius, suffix in ((15.0, ""), (30.0, "_r30")):
+        cfg = _dc.replace(EVAL_CONFIG, radius_init=radius)
+        for targeted in (False, True):
+            rng, t_rng = jax.random.split(rng)
+            if targeted:
+                offset = jax.random.randint(t_rng, labels.shape, 1, N_CLS)
+                targets = (labels + offset) % N_CLS
+            else:
+                targets = labels
+            t0 = time.time()
+            adv, rng = _attack(victim_fn, imgs01, masks, targets, rng, cfg)
+            dt = time.time() - t0
+            pred = safe_argmax(_chunked_logits(victim_fn, adv))
+            acc = float(jnp.mean((pred == labels).astype(jnp.float32)))
+            ssim_v, psnr_v = batch_psnr_ssim(adv, imgs01)
+            key = ("attacked_targeted" if targeted else "attacked") + suffix
+            metrics[key] = {
+                "accuracy": round(acc, 4), "asr": round(1 - acc, 4), "n": n,
+                "target_hit_rate": (round(float(jnp.mean(
+                    (pred == targets).astype(jnp.float32))), 4)
+                    if targeted else None),
+                "mean_ssim": round(float(jnp.mean(ssim_v)), 4),
+                "mean_psnr": round(float(jnp.mean(psnr_v)), 3),
+                "imgs_per_sec": round(n / dt, 2),
+                "config": {"preset": "eval", "targeted": targeted,
+                           "radius_init": radius,
+                           "shadow_intensity": cfg.shadow_intensity,
+                           "victim": os.path.relpath(vckpt, REPO)},
+            }
+            log(f"[attack] r={radius:g} targeted={targeted}: "
+                f"asr={1 - acc:.4f} ({n / dt:.1f} imgs/s)")
+            if not targeted and radius == 15.0:
+                attacked_imgs = adv
+
+    def feature_fn(x):
+        # penultimate pre-fc pooled features — the same embedding the
+        # evaluate CLI's fid command and TRAINED_r02.json use
+        out = model.apply(variables, x, return_features=True)
+        return out[1].mean(axis=(1, 2)) if isinstance(out, tuple) else out
+
+    fa = jnp.concatenate([feature_fn(imgs01[s:s + 128])
+                          for s in range(0, n, 128)])
+    fb = jnp.concatenate([feature_fn(attacked_imgs[s:s + 128])
+                          for s in range(0, n, 128)])
     metrics["fid_attacked_vs_clean"] = {
         "fid": round(float(fid_from_features(fa, fb)), 6),
-        "features": "trained victim logits (n=%d)" % n,
+        "features": "trained victim pre-fc pooled (n=%d)" % n,
     }
     # persist the untargeted attacked batch for visual evidence
     vis_dir = os.path.join(ART, "vis")

@@ -28,8 +28,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_train_step():
-    port = _free_port()
+def _spawn_workers(port):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own device count (2)
     env["JAX_PLATFORMS"] = "cpu"
@@ -55,6 +54,18 @@ def test_two_process_distributed_train_step():
             p.kill()
         pytest.fail("multihost workers timed out (coordinator wedge?)\n"
                     + "\n---\n".join(o or "" for o in outs))
+    return procs, outs
+
+
+def test_two_process_distributed_train_step():
+    procs, outs = _spawn_workers(_free_port())
+    if any(p.returncode != 0 for p in procs) and any(
+            "DEADLINE_EXCEEDED" in o for o in outs):
+        # Gloo's context-init KV get has a hard 30 s deadline; under heavy
+        # CPU contention (full-suite runs) the workers' train-step compile
+        # times can skew past it.  The first attempt warmed the persistent
+        # compile cache, so a retry executes with near-zero skew.
+        procs, outs = _spawn_workers(_free_port())
 
     for pid, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0 and ("PermissionError" in out

@@ -299,6 +299,40 @@ class TestDPMSolverPPSDE:
         np.testing.assert_allclose(np.asarray(out), np.asarray(x_star),
                                    atol=6e-2)
 
+    def test_logsnr_and_karras_grids(self):
+        """The beyond-reference few-step grids: strictly decreasing
+        boundaries spanning [~T-1, 0], uniform-in-lambda for logsnr
+        (so c_i == 1/2 on every non-bootstrap step), and a finite
+        oracle-recovering sample for both."""
+        from advshadow_tpu.samplers import dpmpp2m_sample
+        from advshadow_tpu.samplers.dpm import _boundary_times, dpmpp2m_tables
+
+        coeffs = make_diffusion(1000, "linear")
+        abar = np.asarray(coeffs.alphas_cumprod)
+        for method in ("logsnr", "karras"):
+            times = _boundary_times(abar, 1000, 20, method)
+            assert times[0] == 999 and times[-1] == 0
+            assert np.all(np.diff(times) < 0)
+            tables = dpmpp2m_tables(abar, 1000, 20, method=method)
+            for tab in tables:
+                assert np.isfinite(np.asarray(tab, np.float64)).all()
+            x_star = jnp.full(SHAPE, 0.25)
+            out = dpmpp2m_sample(coeffs, oracle_denoiser(coeffs, x_star),
+                                 jax.random.PRNGKey(0), SHAPE,
+                                 sample_steps=20, method=method)
+            assert np.isfinite(np.asarray(out)).all()
+            np.testing.assert_allclose(np.asarray(out), np.asarray(x_star),
+                                       atol=6e-2)
+        # uniform-in-lambda: the 2M coefficient is ~1/2 on every step but
+        # the bootstrap (the last couple of steps deviate where the
+        # discrete t grid is too coarse to hit the target lambdas)
+        c = np.asarray(dpmpp2m_tables(abar, 1000, 20, method="logsnr")[5])
+        np.testing.assert_allclose(c[1:-2], 0.5, atol=0.05)
+        import pytest
+
+        with pytest.raises(NotImplementedError):
+            _boundary_times(abar, 1000, 20, "nope")
+
     def test_sde_oracle_recovers_point_mass(self):
         """SDE-DPM-Solver++(2M) contracts to the data point for a perfect
         oracle: the injected noise is annihilated as sigma -> 0."""
