@@ -51,17 +51,29 @@ CONFIGS = [
      "extra": ["--cfg_rescale", "0.7"], "tag_suffix": "_rescale"},
     {"sampler": "dpmpp", "steps": 20,
      "extra": ["--cfg_interval", "50,800"], "tag_suffix": "_interval"},
+    # few-step timestep grids beyond the reference (round-3): where the
+    # solver spends its steps matters as much as the solver itself
+    {"sampler": "dpmpp_sde", "steps": 20,
+     "extra": ["--sample_method", "karras"], "tag_suffix": "_karras"},
+    {"sampler": "dpmpp_sde", "steps": 20,
+     "extra": ["--sample_method", "logsnr"], "tag_suffix": "_logsnr"},
+    {"sampler": "dpmpp", "steps": 20,
+     "extra": ["--sample_method", "karras"], "tag_suffix": "_karras"},
 ]
 N_CLS, PER_CLS = 10, 64
 CFG_SCALE = 3  # the generate CLI default == the paper's operating point
 
 
 def main():
+    """Optional argv: row tags (e.g. ``dpmpp_sde20_karras``) to run only
+    those configs; results merge by tag into the existing json."""
     from advshadow_tpu.utils.runtime import runtime_init
 
     runtime_init()
     from advshadow_tpu.cli.evaluate import main as evaluate_main
     from advshadow_tpu.cli.generate import main as generate_main
+
+    only = set(sys.argv[1:])
 
     fid_common = ["--feature_victim", "resnet18", "--victim_ckpt", VCKPT,
                   "--num_classes", "10", "--image_size", "64"]
@@ -75,9 +87,20 @@ def main():
                        "classes": N_CLS, "per_class": PER_CLS},
         "rows": [],
     }
+    out_path = os.path.join(ART, "dpm_quality.json")
+    if os.path.exists(out_path):  # merge across partial runs, keyed by tag
+        with open(out_path) as f:
+            prev = json.load(f)
+        out["rows"] = prev.get("rows", [])
+
+    def _tag(sampler, steps, suffix):
+        return f"{sampler}{steps}{suffix}"
+
     for cfg in CONFIGS:
         sampler, steps = cfg["sampler"], cfg["steps"]
-        tag = f"{sampler}{steps}" + cfg.get("tag_suffix", "")
+        tag = _tag(sampler, steps, cfg.get("tag_suffix", ""))
+        if only and tag not in only:
+            continue
         flat = os.path.join(DATA, f"gen_{tag}")
         shutil.rmtree(flat, ignore_errors=True)
         os.makedirs(flat)
@@ -107,6 +130,7 @@ def main():
              "--folder2", flat] + fid_common)
         acc = _generated_accuracy(flat)
         row = {
+            "tag": tag,
             "sampler": sampler,
             "steps": steps,
             "guidance_flags": cfg["extra"],
@@ -118,10 +142,14 @@ def main():
             "warm_imgs_per_sec_e2e_cli": round(
                 PER_CLS * (N_CLS - 1) / warm_s, 2),
         }
-        out["rows"].append(row)
+        def _key(r):
+            return (r["sampler"], r["steps"],
+                    tuple(r.get("guidance_flags", [])))
+
+        out["rows"] = [r for r in out["rows"] if _key(r) != _key(row)] + [row]
         print(json.dumps(row), file=sys.stderr)
 
-    with open(os.path.join(ART, "dpm_quality.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps({"metric": "dpm_quality", "rows": len(out["rows"])}))
 
