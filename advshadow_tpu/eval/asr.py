@@ -35,10 +35,13 @@ def compute_asr(
     Returns {"asr": misclassification rate, "accuracy": (1-asr),
     "n": N} — the reference prints (1-asr)*100 (ref: ASR_fast.py:133).
     """
+    # one jitted region per chunk (forward + argmax): eager per-op
+    # dispatches cost ~33 ms each through the TPU relay, which dominates
+    # multi-chunk evals otherwise
+    predict = jax.jit(lambda im: safe_argmax(victim_fn(im)))
     preds = []
     for i in range(0, images.shape[0], batch_size):
-        logits = victim_fn(images[i: i + batch_size])
-        preds.append(safe_argmax(logits))
+        preds.append(predict(images[i: i + batch_size]))
     preds = jnp.concatenate(preds)
     success = preds != true_labels
     asr = float(jnp.mean(success.astype(jnp.float32)))

@@ -86,16 +86,26 @@ def main():
     xplanes = sorted(glob.glob(os.path.join(
         logdir, "**", "*.xplane.pb"), recursive=True), key=os.path.getmtime)
     data, _ = raw_to_tool_data.xspace_to_tool_data(
-        [xplanes[-1]], "hlo_op_stats", {})
+        [xplanes[-1]], "hlo_stats", {})
     if isinstance(data, bytes):
         data = data.decode()
-    rows = json.loads(data)
-    # print the top-15 ops by self time with category + occurrences
-    try:
-        table = rows["data"] if isinstance(rows, dict) else rows
-        print(json.dumps(table[:15], indent=1)[:4000])
-    except Exception:
-        print(json.dumps(rows, indent=1)[:4000])
+    d = json.loads(data)
+    cols = [c["label"] for c in d["cols"]]
+    ci = {c: i for i, c in enumerate(cols)}
+
+    def val(r, c):
+        return r["c"][ci[c]].get("v")
+
+    rows = sorted(d["rows"],
+                  key=lambda r: -float(val(r, "Total self time (us)") or 0))
+    total = sum(float(val(r, "Total self time (us)") or 0) for r in d["rows"])
+    print(f"device self time total: {total / 1000:.1f} ms")
+    for r in rows[:12]:
+        print(f"{val(r, 'HLO op name')}: "
+              f"{float(val(r, 'Total self time (us)')):.0f}us "
+              f"x{val(r, '#Occurrences')} cat={val(r, 'HLO op category')} "
+              f"bound={val(r, 'Bound by')} "
+              f"GF/s={float(val(r, 'Model GFLOP/s') or 0):.0f}")
 
 
 if __name__ == "__main__":
