@@ -356,9 +356,37 @@ def phase_sweep(eval_root, metrics):
            "victim": os.path.relpath(_victim_ckpt(), REPO), "rows": rows}
     with open(os.path.join(ART, "asr_intensity_128.json"), "w") as f:
         json.dump(out, f, indent=2)
+    _plot_sweep(out)
     metrics["intensity_sweep"] = {"rows": len(rows),
                                   "file": "asr_intensity_128.json"}
     return metrics
+
+
+def _plot_sweep(out):
+    """Same figure style as benchmarks/asr_intensity.py's 64 px plot."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 3.4), dpi=140)
+    for targeted, marker in ((False, "o"), (True, "s")):
+        rows = [r for r in out["rows"] if r["targeted"] == targeted]
+        xs = [r["intensity"] for r in rows]
+        label = "targeted" if targeted else "untargeted"
+        ax1.plot(xs, [r["asr"] for r in rows], marker=marker, label=label,
+                 lw=1.6)
+        ax2.plot([r["ssim"] for r in rows], [r["asr"] for r in rows],
+                 marker=marker, label=label, lw=1.6)
+    ax1.set_xlabel("shadow intensity (1-intensity brightness scale)")
+    ax1.set_ylabel("ASR")
+    ax1.legend()
+    ax1.set_title(f"ASR vs intensity at 128 px (n={out['n']})")
+    ax2.set_xlabel("SSIM vs clean")
+    ax2.set_ylabel("ASR")
+    ax2.set_title("attack success / stealth tradeoff (128 px)")
+    fig.tight_layout()
+    fig.savefig(os.path.join(ART, "asr_intensity_128.png"))
 
 
 EPOCH_RE = re.compile(r"epoch (\d+): loss=([0-9.]+)")

@@ -59,6 +59,10 @@ CONFIGS = [
      "extra": ["--sample_method", "logsnr"], "tag_suffix": "_logsnr"},
     {"sampler": "dpmpp", "steps": 20,
      "extra": ["--sample_method", "karras"], "tag_suffix": "_karras"},
+    {"sampler": "dpmpp_sde", "steps": 30,
+     "extra": ["--sample_method", "logsnr"], "tag_suffix": "_logsnr"},
+    # equal-NFE baseline for the fast-sampler comparison
+    {"sampler": "ddim", "steps": 20, "extra": []},
 ]
 N_CLS, PER_CLS = 10, 64
 CFG_SCALE = 3  # the generate CLI default == the paper's operating point
