@@ -63,6 +63,8 @@ def default_generate_fn(request: Dict) -> Dict:
     net_kwargs = {}
     if meta.get("channel"):
         net_kwargs["channel"] = tuple(meta["channel"])
+    if request.get("dtype") == "bf16":   # TPU-native fast sampling path
+        net_kwargs["dtype"] = jnp.bfloat16
     if conditional:
         num_classes = request.get("num_classes", meta.get("num_classes"))
         class_name = int(request["class_name"])
@@ -89,6 +91,8 @@ def default_generate_fn(request: Dict) -> Dict:
     if request.get("sample_steps") and sample in ("ddim", "plms", "dpmpp",
                                                   "dpmpp_sde"):
         kwargs["sample_steps"] = int(request["sample_steps"])
+    if request.get("sample_method") and sample in ("dpmpp", "dpmpp_sde"):
+        kwargs["method"] = str(request["sample_method"])
     if sample == "plms" and conditional:
         kwargs["boot_denoise_fn"] = make_denoise_fn(model.apply, params,
                                                     labels, None)

@@ -546,7 +546,8 @@ class TestDeployGeneratePath:
             resp = send_request("localhost", server.port, {
                 "sample": "dpmpp_sde", "sample_steps": 5, "num_images": 1,
                 "weight_path": ckpt, "cfg_rescale": 0.7,
-                "cfg_interval": [50, 900],
+                "cfg_interval": [50, 900], "sample_method": "logsnr",
+                "dtype": "bf16",
                 "result_path": str(tmp_path / "served2"), "class_name": 1,
                 "use_ema": True,
             })
