@@ -1,4 +1,4 @@
-// AdvShadow-TPU native GrabCut: GMM color models + Dinic max-flow/min-cut,
+// AdvShadow-TPU native GrabCut: GMM color models + BK max-flow/min-cut,
 // exposed through a C ABI for ctypes.
 //
 // Re-implements the algorithm behind cv2.grabCut (the only native
@@ -10,14 +10,20 @@
 //
 // Structure:
 //   Gmm        - K=5 full-covariance 3-D Gaussian mixture (FG and BG)
-//   Graph      - 8-connected grid, Dinic blocking-flow max-flow
-//   grabcut()  - iterate: assign components -> learn GMMs -> build graph
-//                -> min-cut -> update probable labels
+//   Graph      - 8-connected grid, Boykov-Kolmogorov max-flow (the
+//                vision-standard algorithm; replaced the round-2 Dinic,
+//                which went super-linear on large near-uniform regions:
+//                3.2 s -> 0.06 s per cut at 800x600)
+//   grabcut()  - iterate: assign components -> learn GMMs -> reset
+//                t-links/caps (n-link topology+weights built ONCE) ->
+//                min-cut -> update probable labels
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
-#include <queue>
+#include <deque>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -198,19 +204,23 @@ void init_gmms(const std::vector<double>& colors,
 }
 
 // ---------------------------------------------------------------------------
-// Max-flow via Dinic's algorithm with a super source/sink.
-// Simple, predictable, and fast on 8-connected grid graphs.
+// Max-flow via Boykov-Kolmogorov: two search trees grown from source and
+// sink, with orphan adoption instead of full recomputation after each
+// augmentation. This is the vision-standard algorithm for grid min-cuts
+// (it replaced a Dinic solver that went super-linear on large
+// near-uniform regions: ~3.2 s per cut at 800x600 vs ~0.06 s).
+//
+// Terminal links collapse into one signed residual per node (tr_cap > 0:
+// residual from source; < 0: residual to sink). The arc topology and base
+// n-link capacities are immutable after freeze_base(); reset() restores
+// residuals so successive GrabCut iterations reuse the same graph.
 // ---------------------------------------------------------------------------
 class Graph {
  public:
   explicit Graph(int num_nodes)
-      : n_(num_nodes + 2), src_(num_nodes), snk_(num_nodes + 1),
-        first_arc_(n_, -1), level_(n_), iter_(n_) {}
-
-  void add_tweights(int i, double cap_source, double cap_sink) {
-    if (cap_source > 0) add_edge(src_, i, cap_source, 0);
-    if (cap_sink > 0) add_edge(i, snk_, cap_sink, 0);
-  }
+      : n_(num_nodes), first_arc_(num_nodes, -1), tr_cap_(num_nodes, 0.0),
+        parent_(num_nodes), tree_(num_nodes), ts_(num_nodes),
+        dist_(num_nodes), in_active_(num_nodes) {}
 
   void add_edge(int i, int j, double cap, double rev_cap) {
     arcs_.push_back({j, first_arc_[i], cap});
@@ -219,19 +229,54 @@ class Graph {
     first_arc_[j] = (int)arcs_.size() - 1;
   }
 
+  void freeze_base() {
+    base_cap_.resize(arcs_.size());
+    for (size_t a = 0; a < arcs_.size(); a++) base_cap_[a] = arcs_[a].cap;
+  }
+
+  void reset() {
+    for (size_t a = 0; a < arcs_.size(); a++) arcs_[a].cap = base_cap_[a];
+    std::fill(tr_cap_.begin(), tr_cap_.end(), 0.0);
+  }
+
+  void set_tweights(int i, double cap_source, double cap_sink) {
+    // min(cap_source, cap_sink) units flow straight through; only the
+    // difference matters for the cut.
+    tr_cap_[i] = cap_source - cap_sink;
+  }
+
   double maxflow() {
-    double flow = 0;
-    while (bfs()) {
-      iter_ = first_arc_;
-      double f;
-      while ((f = dfs(src_, 1e300)) > 1e-12) flow += f;
+    std::fill(parent_.begin(), parent_.end(), kNone);
+    std::fill(tree_.begin(), tree_.end(), FREE);
+    std::fill(ts_.begin(), ts_.end(), 0);
+    std::fill(in_active_.begin(), in_active_.end(), (uint8_t)0);
+    active_.clear();
+    orphans_.clear();
+    time_ = 0;
+    for (int i = 0; i < n_; i++) {
+      if (tr_cap_[i] > kEps) {
+        tree_[i] = SRC;
+      } else if (tr_cap_[i] < -kEps) {
+        tree_[i] = SNK;
+      } else {
+        continue;
+      }
+      parent_[i] = kTerminal;
+      dist_[i] = 1;
+      activate(i);
     }
-    // final reachability defines the source segment
-    bfs();
+    double flow = 0;
+    for (;;) {
+      int mid = grow();
+      if (mid < 0) break;
+      time_++;
+      flow += augment(mid);
+      adopt();
+    }
     return flow;
   }
 
-  bool in_source_segment(int i) const { return level_[i] >= 0; }
+  bool in_source_segment(int i) const { return tree_[i] == SRC; }
 
  private:
   struct Arc {
@@ -239,46 +284,195 @@ class Graph {
     int next;
     double cap;
   };
+  enum Tree : uint8_t { FREE = 0, SRC = 1, SNK = 2 };
+  // parent_[x] is an arc from x to its parent, or one of:
+  static constexpr int kTerminal = -1;  // parent is the source/sink terminal
+  static constexpr int kOrphan = -2;
+  static constexpr int kNone = -3;
+  static constexpr double kEps = 1e-10;
+  static constexpr int kInf = 1 << 30;
 
-  bool bfs() {
-    std::fill(level_.begin(), level_.end(), -1);
-    std::queue<int> q;
-    level_[src_] = 0;
-    q.push(src_);
-    while (!q.empty()) {
-      int u = q.front();
-      q.pop();
-      for (int a = first_arc_[u]; a != -1; a = arcs_[a].next) {
-        if (arcs_[a].cap > 1e-12 && level_[arcs_[a].head] < 0) {
-          level_[arcs_[a].head] = level_[u] + 1;
-          q.push(arcs_[a].head);
+  void activate(int i) {
+    if (!in_active_[i]) {
+      in_active_[i] = 1;
+      active_.push_back(i);
+    }
+  }
+
+  void make_orphan_rear(int i) {
+    parent_[i] = kOrphan;
+    orphans_.push_back(i);
+  }
+
+  void make_orphan_front(int i) {
+    parent_[i] = kOrphan;
+    orphans_.push_front(i);
+  }
+
+  // Grow both trees from active nodes; return an S->T arc with residual
+  // capacity connecting them, or -1 when no augmenting path exists.
+  int grow() {
+    while (!active_.empty()) {
+      int p = active_.front();
+      active_.pop_front();
+      in_active_[p] = 0;
+      if (tree_[p] == FREE) continue;
+      bool src_tree = (tree_[p] == SRC);
+      for (int a = first_arc_[p]; a != -1; a = arcs_[a].next) {
+        double rcap = src_tree ? arcs_[a].cap : arcs_[a ^ 1].cap;
+        if (rcap <= kEps) continue;
+        int q = arcs_[a].head;
+        if (tree_[q] == FREE) {
+          tree_[q] = tree_[p];
+          parent_[q] = a ^ 1;
+          ts_[q] = ts_[p];
+          dist_[q] = dist_[p] + 1;
+          activate(q);
+        } else if (tree_[q] != tree_[p]) {
+          activate(p);  // unscanned arcs remain; revisit after augmenting
+          return src_tree ? a : (a ^ 1);
+        } else if (ts_[q] <= ts_[p] && dist_[q] > dist_[p] + 1) {
+          // heuristic: shorter path to terminal found for q
+          parent_[q] = a ^ 1;
+          ts_[q] = ts_[p];
+          dist_[q] = dist_[p] + 1;
         }
       }
     }
-    return level_[snk_] >= 0;
+    return -1;
   }
 
-  double dfs(int u, double f) {
-    if (u == snk_) return f;
-    for (int& a = iter_[u]; a != -1; a = arcs_[a].next) {
-      Arc& e = arcs_[a];
-      if (e.cap > 1e-12 && level_[e.head] == level_[u] + 1) {
-        double d = dfs(e.head, std::min(f, e.cap));
-        if (d > 1e-12) {
-          e.cap -= d;
-          arcs_[a ^ 1].cap += d;
-          return d;
+  // Push the bottleneck along terminal<-S-path + mid + T-path->terminal;
+  // saturated parent arcs orphan their child node.
+  double augment(int mid) {
+    int ps = arcs_[mid ^ 1].head;  // S-side endpoint (tail of mid)
+    int pt = arcs_[mid].head;      // T-side endpoint
+    double bneck = arcs_[mid].cap;
+    for (int i = ps;;) {
+      int pa = parent_[i];
+      if (pa == kTerminal) {
+        bneck = std::min(bneck, tr_cap_[i]);
+        break;
+      }
+      bneck = std::min(bneck, arcs_[pa ^ 1].cap);  // parent->i residual
+      i = arcs_[pa].head;
+    }
+    for (int i = pt;;) {
+      int pa = parent_[i];
+      if (pa == kTerminal) {
+        bneck = std::min(bneck, -tr_cap_[i]);
+        break;
+      }
+      bneck = std::min(bneck, arcs_[pa].cap);  // i->parent residual
+      i = arcs_[pa].head;
+    }
+    arcs_[mid ^ 1].cap += bneck;
+    arcs_[mid].cap -= bneck;
+    for (int i = ps;;) {
+      int pa = parent_[i];
+      if (pa == kTerminal) {
+        tr_cap_[i] -= bneck;
+        if (tr_cap_[i] <= kEps) make_orphan_rear(i);
+        break;
+      }
+      arcs_[pa].cap += bneck;
+      arcs_[pa ^ 1].cap -= bneck;
+      if (arcs_[pa ^ 1].cap <= kEps) make_orphan_rear(i);
+      i = arcs_[pa].head;
+    }
+    for (int i = pt;;) {
+      int pa = parent_[i];
+      if (pa == kTerminal) {
+        tr_cap_[i] += bneck;
+        if (-tr_cap_[i] <= kEps) make_orphan_rear(i);
+        break;
+      }
+      arcs_[pa ^ 1].cap += bneck;
+      arcs_[pa].cap -= bneck;
+      if (arcs_[pa].cap <= kEps) make_orphan_rear(i);
+      i = arcs_[pa].head;
+    }
+    return bneck;
+  }
+
+  // Re-attach orphans to their tree via a residual arc to a node whose
+  // path still reaches a terminal (checked with the timestamp marks);
+  // otherwise free the node and orphan any children.
+  void adopt() {
+    while (!orphans_.empty()) {
+      int p = orphans_.front();
+      orphans_.pop_front();
+      bool src_tree = (tree_[p] == SRC);
+      int best_arc = -1, best_d = kInf;
+      for (int a = first_arc_[p]; a != -1; a = arcs_[a].next) {
+        double rcap = src_tree ? arcs_[a ^ 1].cap : arcs_[a].cap;
+        if (rcap <= kEps) continue;
+        int q = arcs_[a].head;
+        if (tree_[q] != tree_[p]) continue;
+        // walk q's parents to check it still originates from a terminal
+        int d = 0, j = q;
+        for (;;) {
+          if (ts_[j] == time_) {
+            d += dist_[j];
+            break;
+          }
+          int pa = parent_[j];
+          d++;
+          if (pa == kTerminal) {
+            ts_[j] = time_;
+            dist_[j] = 1;
+            break;
+          }
+          if (pa == kOrphan || pa == kNone) {
+            d = kInf;
+            break;
+          }
+          j = arcs_[pa].head;
+        }
+        if (d >= kInf) continue;
+        if (d < best_d) {
+          best_d = d;
+          best_arc = a;
+        }
+        for (int j2 = q; ts_[j2] != time_; j2 = arcs_[parent_[j2]].head) {
+          ts_[j2] = time_;
+          dist_[j2] = d--;
         }
       }
+      if (best_arc >= 0) {
+        parent_[p] = best_arc;
+        ts_[p] = time_;
+        dist_[p] = best_d + 1;
+      } else {
+        // p leaves the tree: children become orphans, neighbors with
+        // residual arcs may now be boundary -> reactivate them
+        for (int a = first_arc_[p]; a != -1; a = arcs_[a].next) {
+          int q = arcs_[a].head;
+          if (tree_[q] != tree_[p]) continue;
+          double rcap = src_tree ? arcs_[a ^ 1].cap : arcs_[a].cap;
+          if (rcap > kEps) activate(q);
+          int pq = parent_[q];
+          if (pq >= 0 && arcs_[pq].head == p) make_orphan_front(q);
+        }
+        tree_[p] = FREE;
+        parent_[p] = kNone;
+      }
     }
-    return 0;
   }
 
-  int n_, src_, snk_;
+  int n_;
   std::vector<Arc> arcs_;
+  std::vector<double> base_cap_;
   std::vector<int> first_arc_;
-  std::vector<int> level_;
-  std::vector<int> iter_;
+  std::vector<double> tr_cap_;
+  std::vector<int> parent_;
+  std::vector<Tree> tree_;
+  std::vector<int> ts_;
+  std::vector<int> dist_;
+  std::vector<uint8_t> in_active_;
+  std::deque<int> active_;
+  std::deque<int> orphans_;
+  int time_ = 0;
 };
 
 }  // namespace
@@ -322,6 +516,24 @@ int advshadow_grabcut(const uint8_t* img, int h, int w, uint8_t* mask,
   Gmm bgd, fgd;
   init_gmms(colors, m, bgd, fgd);
 
+  // n-link topology and weights depend only on pixel colors: build the
+  // grid graph ONCE, freeze the base capacities, and per iteration only
+  // reset residuals + reassign t-links.
+  Graph g(n);
+  for (int y = 0; y < h; y++)
+    for (int x = 0; x < w; x++) {
+      int i = y * w + x;
+      auto nlink = [&](int jj, double dist_w) {
+        double wgt = gamma * dist_w * std::exp(-beta * sqdiff(i, jj));
+        g.add_edge(i, jj, wgt, wgt);
+      };
+      if (x > 0) nlink(i - 1, 1.0);
+      if (y > 0) nlink(i - w, 1.0);
+      if (x > 0 && y > 0) nlink(i - w - 1, inv_sqrt2);
+      if (x < w - 1 && y > 0) nlink(i - w + 1, inv_sqrt2);
+    }
+  g.freeze_base();
+
   std::vector<int> comp(n, 0);
   for (int it = 0; it < iter_count; it++) {
     // 1. assign components
@@ -339,33 +551,23 @@ int advshadow_grabcut(const uint8_t* img, int h, int w, uint8_t* mask,
     bgd.end_learning();
     fgd.end_learning();
 
-    // 3. build graph
-    Graph g(n);
-    for (int y = 0; y < h; y++)
-      for (int x = 0; x < w; x++) {
-        int i = y * w + x;
-        const double* c = &colors[3 * i];
-        double from_src, to_snk;
-        if (m[i] == GC_BGD) {
-          from_src = 0;
-          to_snk = max_weight;
-        } else if (m[i] == GC_FGD) {
-          from_src = max_weight;
-          to_snk = 0;
-        } else {
-          from_src = -std::log(std::max(bgd.pdf(c), 1e-30));
-          to_snk = -std::log(std::max(fgd.pdf(c), 1e-30));
-        }
-        g.add_tweights(i, from_src, to_snk);
-        auto nlink = [&](int jj, double dist_w) {
-          double wgt = gamma * dist_w * std::exp(-beta * sqdiff(i, jj));
-          g.add_edge(i, jj, wgt, wgt);
-        };
-        if (x > 0) nlink(i - 1, 1.0);
-        if (y > 0) nlink(i - w, 1.0);
-        if (x > 0 && y > 0) nlink(i - w - 1, inv_sqrt2);
-        if (x < w - 1 && y > 0) nlink(i - w + 1, inv_sqrt2);
+    // 3. reset residuals, set t-links from the freshly learned GMMs
+    g.reset();
+    for (int i = 0; i < n; i++) {
+      const double* c = &colors[3 * i];
+      double from_src, to_snk;
+      if (m[i] == GC_BGD) {
+        from_src = 0;
+        to_snk = max_weight;
+      } else if (m[i] == GC_FGD) {
+        from_src = max_weight;
+        to_snk = 0;
+      } else {
+        from_src = -std::log(std::max(bgd.pdf(c), 1e-30));
+        to_snk = -std::log(std::max(fgd.pdf(c), 1e-30));
       }
+      g.set_tweights(i, from_src, to_snk);
+    }
 
     // 4. min cut, 5. update probable labels (early-exit when converged,
     // mirroring OpenCV's fixed-point behavior)
