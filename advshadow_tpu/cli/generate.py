@@ -63,10 +63,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "500-of-1000, ref model/samples/ddim.py:25)")
     p.add_argument("--sample_method", type=str, default=None,
                    choices=["uniform", "quad", "logsnr", "karras"],
-                   help="dpmpp/dpmpp_sde timestep spacing: uniform/quad "
-                        "(the reference's DDIM strides, diff_model.py:"
-                        "427-438) or logsnr/karras (few-step grids "
-                        "beyond the ref)")
+                   help="ddim/dpmpp/dpmpp_sde timestep spacing: "
+                        "uniform/quad (the reference's DDIM strides, "
+                        "diff_model.py:427-438) or logsnr/karras "
+                        "(few-step grids beyond the ref); ddim defaults "
+                        "to the reference's pair stride when unset")
     return p
 
 
@@ -115,7 +116,7 @@ def generate(args) -> np.ndarray:
     if args.sample_steps and sample in ("ddim", "plms", "dpmpp",
                                         "dpmpp_sde"):
         kwargs["sample_steps"] = args.sample_steps
-    if getattr(args, "sample_method", None) and sample in ("dpmpp",
+    if getattr(args, "sample_method", None) and sample in ("ddim", "dpmpp",
                                                            "dpmpp_sde"):
         kwargs["method"] = args.sample_method
     if sample == "plms" and conditional:

@@ -16,27 +16,40 @@ bootstrap step is the same update with the D1 correction coefficient set
 to zero, so the scan body is branch-free).
 
 Update rule (data prediction, multistep 2M), with
-``lambda = log(alpha/sigma)``, ``h_i = lambda_i - lambda_{i-1}``:
+``lambda = log(alpha/sigma)``, ``h_i = lambda_i - lambda_{i-1}`` and
+``D_bar_i = (1 + c_i) x0_i - c_i x0_{i-1}``, ``c_i = h_i / (2 h_{i-1})``
+(``c_1 = 0`` is the first-order bootstrap).  We implement the update in
+the algebraically-identical **thresholded data-prediction form**
 
-  D_bar_i = (1 + c_i) x0_i - c_i x0_{i-1},   c_i = h_i / (2 h_{i-1})
-  x_i = (sigma_i/sigma_{i-1}) x_{i-1} - alpha_i expm1(-h_i) D_bar_i
+  x0_eff_i = e^{-h_i} x0_i + (1 - e^{-h_i}) D_bar_i
+  x_i      = alpha_i clip(x0_eff_i) + sigma_i eps_i
 
-(c_1 = 0 recovers the first-order DDIM-like bootstrap step.)
+instead of the textbook ``x_i = (sigma_i/sigma_{i-1}) x_{i-1} -
+alpha_i expm1(-h_i) D_bar_i``: without clipping the two are the same
+identity, but the textbook form can only clip the D_bar term, so under
+classifier-free guidance the x0-overshoot riding inside the
+(sigma_i/sigma_{i-1}) x_{i-1} carry survives every clip and accumulates
+as low-frequency saturation.  The thresholded form clips the FULL x0
+contribution each step — exactly the static thresholding the reference's
+DDIM applies (clip x0_hat, keep the raw eps direction,
+ref: diff_model.py:379,416-474) — and reduces to that DDIM step when
+c_i = 0.  Measured on the trained 64 px flagship at CFG 3
+(artifacts/real_run/dpm_quality.json): the textbook form with D_bar
+clipping was FID 1.79 at 20 steps vs DDIM-50's 0.146; this form closes
+the gap (see the same file, round-3 rows).
 
 The SDE variant (``sde=True``; SDE-DPM-Solver++(2M), Lu et al. 2211.01095
-Sec. 4 / App. E) keeps the *same* multistep combination D_bar but runs the
-reverse SDE instead of the probability-flow ODE:
+Sec. 4 / App. E) keeps the same multistep combination but runs the
+reverse SDE, in the same thresholded form:
 
-  x_i = (sigma_i/sigma_{i-1}) e^{-h_i} x_{i-1}
-        + alpha_i (1 - e^{-2 h_i}) D_bar_i
-        + sigma_i sqrt(1 - e^{-2 h_i}) z_i,    z_i ~ N(0, I)
+  x0_eff_i = e^{-2 h_i} x0_i + (1 - e^{-2 h_i}) D_bar_i
+  x_i      = alpha_i clip(x0_eff_i) + sigma_i e^{-h_i} eps_i
+             + sigma_i sqrt(1 - e^{-2 h_i}) z_i,    z_i ~ N(0, I)
 
-The injected noise re-randomizes the trajectory each step, which is the
-standard remedy for the low-frequency saturation the deterministic 2M
-update develops under large classifier-free guidance (the paper's CFG=3
-operating point) — measured in artifacts/real_run/dpm_quality.json.  Pair
-with ``cfg_rescale``/``cfg_interval`` in samplers.base.make_denoise_fn
-for the guided fast-sampling path.
+The injected noise re-randomizes the trajectory each step (a second,
+independent remedy for guided saturation).  Pair with
+``cfg_rescale``/``cfg_interval`` in samplers.base.make_denoise_fn for
+the guided fast-sampling path.
 """
 
 from __future__ import annotations
@@ -49,49 +62,13 @@ import numpy as np
 
 from advshadow_tpu.core.diffusion import DiffusionCoefficients
 from advshadow_tpu.samplers.base import DenoiseFn
-from advshadow_tpu.samplers.ddim import ddim_timestep_sequence
+from advshadow_tpu.samplers.ddim import boundary_times
 
 __all__ = ["dpmpp2m_sample", "dpmpp2m_sde_sample", "dpmpp2m_tables"]
 
-
-def _boundary_times(
-    alphas_cumprod: np.ndarray, timesteps: int, sample_steps: int,
-    method: str,
-) -> np.ndarray:
-    """Descending N+1 timestep boundaries (ending at 0) for the 2M scan.
-
-    ``uniform``/``quad`` reuse the reference's DDIM stride
-    (ref: diff_model.py:427-438).  Two spacings beyond the reference
-    target the few-step regime, where *where* the solver spends its
-    steps dominates quality:
-
-    - ``logsnr``: boundaries uniform in lambda = log(alpha/sigma)
-      (Lu et al. 2206.00927 Sec. 3.3's recommended grid) — equal
-      solver-space intervals, so the multistep coefficient c_i = 1/2
-      everywhere.
-    - ``karras``: boundaries uniform in the EDM noise scale
-      sigma_edm^(1/rho), rho = 7 (Karras et al. 2206.00364 eq. 5),
-      mapped to the discrete t grid by nearest lambda — concentrates
-      steps near the clean-data end.
-    """
-    if method in ("uniform", "quad"):
-        seq = ddim_timestep_sequence(timesteps, sample_steps, method)
-        return np.concatenate([seq[::-1], [0]]).astype(np.int64)
-    abar = np.asarray(alphas_cumprod, np.float64)
-    lam = 0.5 * (np.log(abar) - np.log1p(-abar))  # monotone decreasing in t
-    t_hi = timesteps - 1
-    if method == "logsnr":
-        target = np.linspace(lam[t_hi], lam[0], sample_steps + 1)
-    elif method == "karras":
-        rho = 7.0
-        sig = np.exp(-lam)                        # EDM sigma = sigma/alpha
-        grid = np.linspace(sig[t_hi] ** (1 / rho), sig[0] ** (1 / rho),
-                           sample_steps + 1)
-        target = -np.log(grid**rho)
-    else:
-        raise NotImplementedError(
-            f'There is no dpmpp discretization method called "{method}"')
-    return np.abs(lam[None, :] - target[:, None]).argmin(axis=1)
+# back-compat alias (the grid builder moved to samplers.ddim so the DDIM
+# fast path can use the logsnr/karras grids too)
+_boundary_times = boundary_times
 
 
 def dpmpp2m_tables(
@@ -101,12 +78,16 @@ def dpmpp2m_tables(
     """Host-side f64 per-step coefficient tables for the 2M scan.
 
     Returns int32 ``t`` (denoiser conditioning per step, high -> low) and
-    f32 ``alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c, ratio_sde,
-    alpha_phi_sde, noise_sde`` arrays of length ``n_steps`` (boundary grid
-    per :func:`_boundary_times`, deduplicated — the quad grid's int cast
+    f32 ``alpha_cur, sigma_cur, alpha_next, sigma_next, c, emh, em2h,
+    noise_sde`` arrays of length ``n_steps`` (boundary grid per
+    :func:`_boundary_times`, deduplicated — the quad grid's int cast
     and the nearest-t mapping can repeat timesteps, which would make
     ``h = 0`` and divide the 2M coefficient by zero; after dedup
     ``n_steps`` may be smaller than ``sample_steps``).
+
+    ``emh = exp(-h)``, ``em2h = exp(-2h)`` feed the thresholded
+    data-prediction step (module docstring); ``noise_sde =
+    sigma_next * sqrt(1 - exp(-2h))`` is the SDE noise scale.
     """
     times = _boundary_times(alphas_cumprod, timesteps, sample_steps, method)
     # strictly-decreasing dedup (degenerate grids repeat timesteps)
@@ -127,11 +108,11 @@ def dpmpp2m_tables(
         jnp.asarray(times[:-1], jnp.int32),
         f32(alpha[:-1]),
         f32(sigma[:-1]),
-        f32(sigma[1:] / sigma[:-1]),
-        f32(alpha[1:] * np.expm1(-h)),
+        f32(alpha[1:]),
+        f32(sigma[1:]),
         f32(c),
-        f32((sigma[1:] / sigma[:-1]) * np.exp(-h)),
-        f32(alpha[1:] * -np.expm1(-2.0 * h)),
+        f32(np.exp(-h)),
+        f32(np.exp(-2.0 * h)),
         f32(sigma[1:] * np.sqrt(-np.expm1(-2.0 * h))),
     )
 
@@ -154,8 +135,8 @@ def dpmpp2m_sample(
     ``sde=True`` selects SDE-DPM-Solver++(2M) (ancestral noise each step;
     better under large CFG — see module docstring).
     """
-    (ts, alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c,
-     ratio_sde, alpha_phi_sde, noise_sde) = dpmpp2m_tables(
+    (ts, alpha_cur, sigma_cur, alpha_next, sigma_next, c,
+     emh, em2h, noise_sde) = dpmpp2m_tables(
         np.asarray(coeffs.alphas_cumprod), coeffs.num_timesteps,
         sample_steps, method)
     n_steps = ts.shape[0]
@@ -168,30 +149,32 @@ def dpmpp2m_sample(
 
     def step(carry, inp):
         x, d_prev = carry
-        t, a_t, s_t, s_ratio, a_phi, ci, r_sde, a_sde, n_sde, key = inp
+        t, a_t, s_t, a_nxt, s_nxt, ci, e_h, e_2h, n_sde, key = inp
         eps = denoise_fn(x, jnp.full((n,), t, dtype=jnp.int32))
         d = (x - s_t * eps) / a_t
         if clip_denoised:
             d = jnp.clip(d, -1.0, 1.0)
         d_bar = (1.0 + ci) * d - ci * d_prev  # ci=0 on the bootstrap step
+        # Thresholded data-prediction form (module docstring): fold the
+        # x-carry into an effective x0 so clipping reins in the FULL
+        # guided overshoot each step, exactly like the reference DDIM's
+        # clip(x0_hat) (ref: diff_model.py:379).  Identical to the
+        # textbook sigma-ratio update when clip_denoised=False.
+        decay = e_2h if sde else e_h
+        x0_eff = decay * d + (1.0 - decay) * d_bar
         if clip_denoised:
-            # under CFG the 2M extrapolation can overshoot the data range
-            # even when each x0 prediction is clipped; the overshoot
-            # accumulates as low-frequency saturation (measured: FID
-            # 2.09 -> see dpm_quality.json).  Clip the extrapolated
-            # combination to the same range the model was trained on.
-            d_bar = jnp.clip(d_bar, -1.0, 1.0)
+            x0_eff = jnp.clip(x0_eff, -1.0, 1.0)
         if sde:
             z = jax.random.normal(key, x.shape, x.dtype)
-            x = r_sde * x + a_sde * d_bar + n_sde * z
+            x = a_nxt * x0_eff + s_nxt * e_h * eps + n_sde * z
         else:
-            x = s_ratio * x - a_phi * d_bar
+            x = a_nxt * x0_eff + s_nxt * eps
         return (x, d), None
 
     (x, _), _ = jax.lax.scan(
         step, (x0, jnp.zeros_like(x0)),
-        (ts, alpha_cur, sigma_cur, sigma_ratio, alpha_phi1, c,
-         ratio_sde, alpha_phi_sde, noise_sde, step_keys))
+        (ts, alpha_cur, sigma_cur, alpha_next, sigma_next, c,
+         emh, em2h, noise_sde, step_keys))
     return x
 
 

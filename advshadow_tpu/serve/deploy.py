@@ -91,7 +91,8 @@ def default_generate_fn(request: Dict) -> Dict:
     if request.get("sample_steps") and sample in ("ddim", "plms", "dpmpp",
                                                   "dpmpp_sde"):
         kwargs["sample_steps"] = int(request["sample_steps"])
-    if request.get("sample_method") and sample in ("dpmpp", "dpmpp_sde"):
+    if request.get("sample_method") and sample in ("ddim", "dpmpp",
+                                                   "dpmpp_sde"):
         kwargs["method"] = str(request["sample_method"])
     if sample == "plms" and conditional:
         kwargs["boot_denoise_fn"] = make_denoise_fn(model.apply, params,

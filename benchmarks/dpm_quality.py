@@ -63,6 +63,14 @@ CONFIGS = [
      "extra": ["--sample_method", "logsnr"], "tag_suffix": "_logsnr"},
     # equal-NFE baseline for the fast-sampler comparison
     {"sampler": "ddim", "steps": 20, "extra": []},
+    # round-3: the few-step grids applied to the proven fast path (DDIM)
+    {"sampler": "ddim", "steps": 20,
+     "extra": ["--sample_method", "logsnr"], "tag_suffix": "_logsnr"},
+    {"sampler": "ddim", "steps": 20,
+     "extra": ["--sample_method", "karras"], "tag_suffix": "_karras"},
+    {"sampler": "ddim", "steps": 10,
+     "extra": ["--sample_method", "logsnr"], "tag_suffix": "_logsnr"},
+    {"sampler": "ddim", "steps": 10, "extra": []},
 ]
 N_CLS, PER_CLS = 10, 64
 CFG_SCALE = 3  # the generate CLI default == the paper's operating point

@@ -534,6 +534,7 @@ class TestDeployGeneratePath:
             time.sleep(0.2)
             resp = send_request("localhost", server.port, {
                 "sample": "ddim", "num_images": 1, "weight_path": ckpt,
+                "sample_steps": 5, "sample_method": "logsnr",
                 "result_path": str(tmp_path / "served"), "class_name": 1,
                 "use_ema": True,
             })

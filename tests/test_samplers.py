@@ -205,6 +205,35 @@ class TestDPMSolverPP:
         assert err_fast < err_ddim / 2, (err_fast, err_ddim)
         assert err_fast < 3e-2  # measured ~0.022 at 20 steps
 
+    def test_thresholded_form_matches_ddim_under_clipping(self):
+        """The thresholded data-prediction form must clip the FULL x0
+        contribution like the reference DDIM does (clip x0_hat, raw eps
+        direction).  With a constant-x0 denoiser that overshoots the data
+        range (x0_pred = 1.8 > 1), D_bar == x0 on every step, so the 2M
+        chain must coincide with the DDIM chain on the same grid exactly
+        — the pre-fix sigma-ratio form fails this by carrying the
+        unclipped overshoot forward in (sigma_i/sigma_{i-1}) x_{i-1}."""
+        from advshadow_tpu.samplers import dpmpp2m_sample
+
+        coeffs = make_diffusion(1000, "linear")
+        overshoot = 1.8
+
+        def fn(x, t):
+            abar = coeffs.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+            return (x - jnp.sqrt(abar) * overshoot) / jnp.sqrt(1 - abar)
+
+        x_init = jax.random.normal(jax.random.PRNGKey(11), SHAPE)
+        kw = dict(x_init=x_init, clip_denoised=True)
+        fast = dpmpp2m_sample(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                              sample_steps=20, **kw)
+        ddim = ddim_sample(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                           ddim_timesteps=20, **kw)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ddim),
+                                   atol=1e-4)
+        # and the clip really engaged: the final state is the clipped
+        # target plus the (tiny) terminal eps direction, not 1.8
+        assert float(jnp.max(fast)) < 1.2
+
     def test_registry_and_cfg_path(self):
         """'dpmpp' resolves from the registry and runs under the fused-CFG
         denoise closure (2N batch) without shape issues."""
@@ -346,6 +375,31 @@ class TestDPMSolverPPSDE:
         assert np.isfinite(np.asarray(out)).all()
         np.testing.assert_allclose(np.asarray(out), np.asarray(x_star),
                                    atol=8e-2)
+
+    def test_ddim_nonuniform_grids(self):
+        """DDIM (both variants) accepts the shared logsnr/karras few-step
+        grids: oracle recovery stays exact-ish, and the framework entry
+        point keeps its reference pair-stride default."""
+        from advshadow_tpu.samplers import ddim_sample_framework
+
+        coeffs = make_diffusion(1000, "linear")
+        x_star = jnp.full(SHAPE, 0.21)
+        fn = oracle_denoiser(coeffs, x_star)
+        for method in ("logsnr", "karras"):
+            for entry in (ddim_sample, ddim_sample_framework):
+                kw = (dict(ddim_timesteps=20) if entry is ddim_sample
+                      else dict(sample_steps=20))
+                out = entry(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                            method=method, **kw)
+                assert np.isfinite(np.asarray(out)).all()
+                np.testing.assert_allclose(np.asarray(out),
+                                           np.asarray(x_star), atol=6e-2)
+        # default path unchanged: framework stride, not a boundary grid
+        a = ddim_sample_framework(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                                  sample_steps=20)
+        b = ddim_sample_framework(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                                  sample_steps=20, method="framework")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
 
     def test_sde_differs_from_ode_and_registry(self):
         from advshadow_tpu.samplers import make_sampler
