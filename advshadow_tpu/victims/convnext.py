@@ -14,6 +14,8 @@ from typing import Sequence
 import jax
 from flax import linen as nn
 
+from advshadow_tpu.victims.vit import _PatchEmbed
+
 __all__ = ["ConvNeXt", "convnext_tiny", "convnext_base"]
 
 
@@ -41,7 +43,10 @@ class ConvNeXt(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Conv(self.dims[0], (4, 4), strides=4, name="stem_conv")(x)
+        # reshape+GEMM patchify (same param tree as the nn.Conv it
+        # replaces; see victims/vit.py:_PatchEmbed for the MXU rationale)
+        h = _PatchEmbed(self.dims[0], 4, flatten=False,
+                        name="stem_conv")(x)
         h = nn.LayerNorm(epsilon=1e-6, name="stem_norm")(h)
         for stage, (depth, dim) in enumerate(zip(self.depths, self.dims)):
             if stage > 0:

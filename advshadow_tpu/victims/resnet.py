@@ -28,6 +28,51 @@ def _bn(name: str):
                         name=name)
 
 
+class _StemConv(nn.Module):
+    """torchvision conv7x7/s2/p3 stem, executed as a space-to-depth conv.
+
+    Parameter tree is identical to the ``nn.Conv`` it replaces (one
+    ``kernel`` of shape (7, 7, 3, features), no bias), so ported torch
+    weights and existing checkpoints load unchanged.  A stride-2 conv on
+    a 3-channel input is the chip's worst case — 3 of 128 input lanes
+    live, and its *input gradient* (the attack differentiates through
+    the victim to the pixels) is a base-dilated transposed conv the
+    profile shows HBM-bound at 30 GiB/s under 42x lane padding (26% of
+    single-224's device time, benchmarks/profile_attack.py).  Rewriting
+    input and kernel through a 2x2 space-to-depth —
+
+      x[2i+dy, 2j+dx, c]        -> xs[i, j, (dy*2+dx)*3 + c]
+      k[2m+dy+3, 2n+dx+3, c, f] -> ks[m+2, n+2, (dy*2+dx)*3 + c, f]
+
+    — turns it into an algebraically-identical 4x4 *stride-1* conv on 12
+    channels (the (m, dy)=(-2, 0) slot is zero-padded): 4x the live
+    lanes, and the backward pass becomes a plain conv instead of a
+    dilated scatter.  This is the standard XLA-TPU space-to-depth ResNet
+    transform, done at the model level where it also covers the custom
+    gradient path.  Falls back to the direct conv for odd spatial sizes.
+    """
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, self.features))
+        B, H, W, C = x.shape
+        dn = ("NHWC", "HWIO", "NHWC")
+        kernel = kernel.astype(x.dtype)
+        if H % 2 or W % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
+        xs = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(
+            0, 1, 3, 2, 4, 5).reshape(B, H // 2, W // 2, 4 * C)
+        kpad = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        ks = kpad.reshape(4, 2, 4, 2, C, self.features).transpose(
+            0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * C, self.features)
+        return jax.lax.conv_general_dilated(
+            xs, ks, (1, 1), ((2, 1), (2, 1)), dimension_numbers=dn)
+
+
 class BasicBlock(nn.Module):
     channels: int
     stride: int = 1
@@ -89,8 +134,7 @@ class ResNet(nn.Module):
         (:mod:`advshadow_tpu.eval.gradcam`).  ``return_pyramid`` returns
         the (C2, C3, C4, C5) stage outputs instead (the FPN backbone
         interface for :mod:`advshadow_tpu.masks.maskrcnn`)."""
-        h = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    name="conv1")(x)
+        h = _StemConv(64, name="conv1")(x)
         h = nn.relu(_bn("bn1")(h))
         # torch MaxPool2d(3, 2, 1): padded max_pool (pads with -inf);
         # an explicit jnp.pad(-inf) + VALID pool crashes the TPU fusion

@@ -17,6 +17,8 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from advshadow_tpu.victims.vit import _PatchEmbed
+
 __all__ = ["SwinTransformer", "swin_tiny", "swin_base"]
 
 
@@ -136,7 +138,10 @@ class SwinTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = nn.Conv(self.embed_dim, (4, 4), strides=4, name="patch_embed")(x)
+        # reshape+GEMM patchify (same param tree as the nn.Conv it
+        # replaces; see victims/vit.py:_PatchEmbed for the MXU rationale)
+        h = _PatchEmbed(self.embed_dim, 4, flatten=False,
+                        name="patch_embed")(x)
         h = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(h)
         for si, (depth, heads) in enumerate(zip(self.depths, self.num_heads)):
             dim = self.embed_dim * (2**si)

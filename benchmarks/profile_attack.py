@@ -8,7 +8,7 @@ ref ddim2/test.py:479-681 semantics) and prints the top HLO ops by
 self time — the evidence base for deciding whether the ceiling is the
 workload (tiny batch, sequential 11-iteration scan) or a fixable sink.
 
-Usage: python benchmarks/profile_attack.py [single|batch64]
+Usage: python benchmarks/profile_attack.py [single|batch64|vit]
 """
 
 import glob
@@ -30,14 +30,33 @@ def build(which: str):
 
     if which == "single":
         size, batch = 224, None
+    elif which == "vit":
+        size, batch = 224, 16
     else:
         size, batch = 64, 64
-    model = make_victim_model("resnet18", num_classes=37)
+    model = make_victim_model("vit_b16" if which == "vit" else "resnet18",
+                              num_classes=37)
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), jnp.zeros((1, size, size, 3)))
+    rng = jax.random.PRNGKey(0)
+    if which == "vit":
+        # mirror benchmarks/suite.py:config_vit_victim — params ride as
+        # jit arguments (a ViT-B/16 closed over as a constant embeds
+        # 344 MB of literals into the HLO)
+        imgs = jax.random.uniform(rng, (batch, size, size, 3))
+        masks = jnp.ones((batch, size, size))
+        y = jnp.arange(batch, dtype=jnp.int32) % 37
+
+        @jax.jit
+        def fn(variables, im, k):
+            vf = make_victim_fn(model, variables,
+                                compute_dtype=jnp.bfloat16)
+            return batched_optimize_shadow(vf, im, masks, y, k,
+                                           EVAL_CONFIG).image
+
+        return (lambda im, k: fn(variables, im, k)), (imgs, rng)
     victim_fn = make_victim_fn(model, variables,
                                compute_dtype=jnp.bfloat16)
-    rng = jax.random.PRNGKey(0)
     if which == "single":
         image = jax.random.uniform(rng, (size, size, 3))
         mask = jnp.ones((size, size))
