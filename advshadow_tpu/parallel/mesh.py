@@ -41,13 +41,21 @@ def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    **kwargs,
 ) -> None:
-    """Multi-host bring-up. No-op in single-process runs."""
+    """Multi-host bring-up. No-op in single-process runs.
+
+    Extra kwargs pass through to :func:`jax.distributed.initialize`
+    (e.g. ``shutdown_timeout_seconds`` — the default 300 s exit barrier
+    is shorter than the compile-time skew between processes that
+    time-share a small host, which kills the slower process mid-compile).
+    """
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,
         )
 
 
@@ -76,17 +84,41 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _put(x, sharding: NamedSharding):
+    """device_put that stays collective-free under multi-process meshes.
+
+    ``jax.device_put`` of a host value to a sharding that spans every
+    process runs a cross-process ``assert_equal`` allgather PER LEAF (a
+    value-consistency check, jax dispatch.py) — for a replicated train
+    state that is hundreds of Gloo/ICI collectives at init time, and the
+    first of them trips Gloo's hard 30 s context-init deadline whenever
+    the processes' compile times are skewed (observed on the 2-process
+    CPU bring-up test).  Placing the locally-addressable shards and
+    assembling the global Array directly has identical semantics —
+    every process passes the same seeded value, which is the same
+    contract torch's replicated DDP init relies on (ref:
+    tools/train.py:73-91) — with zero communication.
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    arr = np.asarray(x)
+    idx_map = sharding.addressable_devices_indices_map(arr.shape)
+    dbs = [jax.device_put(arr[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(
+        arr.shape, sharding, dbs)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a pytree of [B, ...] arrays with B sharded over 'data'."""
     return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, x.ndim)), batch
+        lambda x: _put(x, data_sharding(mesh, x.ndim)), batch
     )
 
 
 def replicate(tree, mesh: Mesh):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+    return jax.tree_util.tree_map(lambda x: _put(x, sharding), tree)
 
 
 def tp_shardings(params, mesh: Mesh, min_channels: int = 256):

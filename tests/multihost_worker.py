@@ -33,8 +33,15 @@ def main():
 
     from advshadow_tpu.parallel import initialize_distributed
 
+    # shutdown_timeout_seconds: the default 300 s exit barrier is shorter
+    # than the cold-compile skew between two workers time-sharing one CPU
+    # core (the faster worker exits, the barrier expires, and the
+    # coordination service FATALs the slower worker mid-compile — which
+    # also prevents the persistent cache from ever warming)
     initialize_distributed(coordinator_address=f"localhost:{port}",
-                           num_processes=2, process_id=pid)
+                           num_processes=2, process_id=pid,
+                           shutdown_timeout_seconds=1800,
+                           heartbeat_timeout_seconds=600)
     assert jax.process_count() == 2, jax.process_count()
     assert jax.process_index() == pid
     n_global = len(jax.devices())
@@ -79,7 +86,21 @@ def main():
     state = replicate(state, mesh)
     coeffs = make_diffusion(100, "linear")
     step_fn = make_train_step(coeffs, config)
-    state, metrics = step_fn(state, x, y, jax.random.PRNGKey(1))
+
+    # AOT-compile locally (XLA CPU compile is process-local), then align
+    # both processes at a coordination-service barrier — which takes an
+    # explicit timeout — before the first collective executes: Gloo's
+    # transport context-init has a hard 30 s deadline, and on a host
+    # where the two workers time-share one core the cold compile skew
+    # alone exceeds it (observed: GetKeyValue() timed out,
+    # cpu:gloo/0,1,2048,2049/2).
+    key = jax.random.PRNGKey(1)
+    compiled = step_fn.lower(state, x, y, key).compile()
+    from jax._src import distributed as _dist
+
+    _dist.global_state.client.wait_at_barrier(
+        "advshadow_step_align", timeout_in_ms=1_500_000)
+    state, metrics = compiled(state, x, y, key)
     loss = float(metrics["loss"])
     assert np.isfinite(loss)
     print(f"MULTIHOST OK pid={pid} loss={loss:.6f}", flush=True)

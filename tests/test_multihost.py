@@ -47,7 +47,7 @@ def _spawn_workers(port):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1500)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:

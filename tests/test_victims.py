@@ -158,3 +158,76 @@ class TestBf16Victim:
         idx = np.argsort(-np.abs(ga))[: ga.size // 2]
         agree = np.mean(np.sign(ga[idx]) == np.sign(gb[idx]))
         assert agree > 0.9, agree
+
+
+class TestStemTransforms:
+    """The MXU-friendly stem rewrites are algebraically identical to the
+    convs they replace (victims/vit.py:_PatchEmbed,
+    victims/resnet.py:_StemConv)."""
+
+    def test_patch_embed_equals_conv(self):
+        from advshadow_tpu.victims.vit import _PatchEmbed
+
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 32, 32, 3))
+        mod = _PatchEmbed(24, 16)
+        v = mod.init(jax.random.PRNGKey(1), x)
+        out = mod.apply(v, x)
+        k = v["params"]["kernel"]
+        ref = jax.lax.conv_general_dilated(
+            x, k, (16, 16), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        ref = ref.reshape(2, -1, 24) + v["params"]["bias"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+        # spatial (non-flattened) variant used by swin/convnext stems
+        out2 = _PatchEmbed(24, 16, flatten=False).apply(v, x)
+        assert out2.shape == (2, 2, 2, 24)
+        np.testing.assert_allclose(np.asarray(out2.reshape(2, -1, 24)),
+                                   np.asarray(ref), atol=1e-5)
+
+    @pytest.mark.parametrize("hw", [112, 224])
+    def test_stem_conv_s2d_equals_direct(self, hw):
+        from advshadow_tpu.victims.resnet import _StemConv
+
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, hw, hw, 3))
+        mod = _StemConv(16)
+        v = mod.init(jax.random.PRNGKey(1), x)
+        out = mod.apply(v, x)  # s2d path (>= 112 px, even)
+        k = v["params"]["kernel"]
+        ref = jax.lax.conv_general_dilated(
+            x, k, (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        assert out.shape == ref.shape == (1, hw // 2, hw // 2, 16)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_stem_conv_small_input_direct_path(self):
+        from advshadow_tpu.victims.resnet import _StemConv
+
+        # below the 112 px gate the direct conv runs; shapes/values still
+        # follow torchvision conv7x7/s2/p3 semantics
+        x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
+        mod = _StemConv(8)
+        v = mod.init(jax.random.PRNGKey(1), x)
+        out = mod.apply(v, x)
+        assert out.shape == (2, 32, 32, 8)
+
+    def test_stem_conv_input_gradient_matches(self):
+        from advshadow_tpu.victims.resnet import _StemConv
+
+        # the attack differentiates through the victim to the pixels —
+        # the s2d rewrite must preserve the input gradient too
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 112, 112, 3))
+        mod = _StemConv(4)
+        v = mod.init(jax.random.PRNGKey(1), x)
+        k = v["params"]["kernel"]
+
+        def direct(xx):
+            return jnp.sum(jax.lax.conv_general_dilated(
+                xx, k, (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")) ** 2)
+
+        g1 = jax.grad(lambda xx: jnp.sum(mod.apply(v, xx) ** 2))(x)
+        g2 = jax.grad(direct)(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   atol=2e-4)
