@@ -1,7 +1,9 @@
 from advshadow_tpu.train.checkpoint import (
+    export_params_npz,
     filter_pretrain_params,
     load_ckpt,
     load_ckpt_params,
+    restore_ckpt_from_npz,
     save_ckpt,
     separate_ckpt_weights,
     wait_for_async_saves,

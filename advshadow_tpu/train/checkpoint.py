@@ -28,7 +28,8 @@ import orbax.checkpoint as ocp
 
 __all__ = ["save_ckpt", "load_ckpt", "load_ckpt_params",
            "filter_pretrain_params", "separate_ckpt_weights",
-           "wait_for_async_saves"]
+           "wait_for_async_saves", "export_params_npz",
+           "restore_ckpt_from_npz"]
 
 _META = "metadata.json"
 
@@ -146,6 +147,62 @@ def load_ckpt_params(ckpt_path: str, is_use_ema: bool = False) -> Any:
     if is_use_ema and tree.get("ema_model") is not None:
         return tree["ema_model"]
     return tree["model"]
+
+
+def export_params_npz(params: Any, out_path: str,
+                      dtype=np.float16) -> str:
+    """Flatten a param pytree to a compressed npz of '/'-joined keys.
+
+    The git-sized portable form of a trained model (the raw orbax tree
+    with optimizer state is ~331 MB and is .gitignored); pair with the
+    checkpoint's ``metadata.json`` and :func:`restore_ckpt_from_npz`
+    rebuilds a loadable ``ckpt_last`` from the two committed files.
+    """
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(sub, prefix=""):
+        for k, v in sub.items():
+            key = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, key)
+            else:
+                flat[key] = np.asarray(v).astype(dtype)
+
+    walk(params)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    np.savez_compressed(out_path, **flat)
+    return out_path
+
+
+def restore_ckpt_from_npz(
+    npz_path: str,
+    metadata_json: str,
+    out_dir: str,
+    dtype=np.float32,
+) -> str:
+    """Rebuild a loadable ``ckpt_last`` from committed evidence files.
+
+    ``npz_path`` is an :func:`export_params_npz` flat archive (e.g. the
+    committed ``ema_params_f16.npz``); ``metadata_json`` the metadata
+    saved next to the original orbax tree.  Writes an orbax checkpoint at
+    ``out_dir/ckpt_last`` whose model AND ema_model are the npz weights
+    (cast to ``dtype``), so the generate CLI / deploy server work on it
+    unchanged.  Returns the ckpt_last path.
+    """
+    arch = np.load(npz_path)
+    params: Dict[str, Any] = {}
+    for key in arch.files:
+        sub = params
+        parts = key.split("/")
+        for p in parts[:-1]:
+            sub = sub.setdefault(p, {})
+        sub[parts[-1]] = arch[key].astype(dtype)
+    with open(metadata_json) as f:
+        meta = json.load(f)
+    meta.setdefault("restored_from", os.path.basename(npz_path))
+    epoch = int(meta.pop("start_epoch", 0))
+    save_ckpt(out_dir, epoch, params, params, **meta)
+    return _tree_dir(out_dir, "ckpt_last")
 
 
 def filter_pretrain_params(

@@ -209,6 +209,39 @@ class TestCheckpoint:
         assert os.path.isdir(tmp_path / "ckpt_5")
         assert os.path.isdir(tmp_path / "ckpt_last")
 
+    def test_npz_export_restore_roundtrip(self, tmp_path):
+        """Committed-evidence path: EMA -> f16 npz -> loadable ckpt_last
+        (the flagship weights' portable form; examples/at_size_128_run.py
+        phase_export + train.checkpoint.restore_ckpt_from_npz)."""
+        import json
+
+        from advshadow_tpu.train import export_params_npz, \
+            restore_ckpt_from_npz
+
+        ema = {"down": {"conv": {"kernel": jnp.arange(12, dtype=jnp.float32)
+                                 .reshape(3, 4) / 7}},
+               "head": {"bias": jnp.ones(4)}}
+        npz = export_params_npz(ema, str(tmp_path / "ema_f16.npz"))
+        meta_path = tmp_path / "metadata.json"
+        meta_path.write_text(json.dumps(
+            {"start_epoch": 299, "num_classes": 10, "conditional": True,
+             "image_size": 128, "sample": "ddim", "network": "unet",
+             "act": "gelu", "channels": [32, 64], "noise_schedule":
+             "framework_linear"}))
+        ckpt = restore_ckpt_from_npz(npz, str(meta_path),
+                                     str(tmp_path / "restored"))
+        tree = load_ckpt(ckpt)
+        assert tree["metadata"]["num_classes"] == 10
+        assert tree["metadata"]["image_size"] == 128
+        assert tree["metadata"]["restored_from"] == "ema_f16.npz"
+        got = tree["ema_model"]["down"]["conv"]["kernel"]
+        assert got.dtype == np.float32
+        np.testing.assert_allclose(
+            got, np.asarray(ema["down"]["conv"]["kernel"], np.float16),
+            atol=0)  # exactly the f16-quantized values
+        np.testing.assert_allclose(tree["model"]["head"]["bias"],
+                                   np.ones(4))
+
     def test_pretrain_filter(self):
         init = {"label_emb": jnp.zeros((5, 8)), "conv": jnp.zeros((3, 3)),
                 "head": jnp.zeros((4,))}
