@@ -51,9 +51,12 @@ class _StemConv(nn.Module):
     transform, done at the model level where it also covers the custom
     gradient path.  Falls back to the direct conv for odd spatial sizes
     and for small inputs: measured on v5e, s2d wins at 224 px
-    (single-224 108->104 ms/img) but loses at 64 px (batch64 suite
+    (single-224 108->96 ms/img) but loses at 64 px (batch64 suite
     63.5->53.5 imgs/s — the input reshuffle is HBM time the small conv
-    never pays back), so it engages at >= 112 px only.
+    never pays back).  It engages at >= 160 px only: 224 is the only
+    size with a measured win, and at the 128 px flagship the stem is a
+    negligible share of the shadow-train step, so the conservative gate
+    keeps that path on the long-validated direct conv.
     """
 
     features: int
@@ -65,7 +68,7 @@ class _StemConv(nn.Module):
         B, H, W, C = x.shape
         dn = ("NHWC", "HWIO", "NHWC")
         kernel = kernel.astype(x.dtype)
-        if H % 2 or W % 2 or min(H, W) < 112:
+        if H % 2 or W % 2 or min(H, W) < 160:
             return jax.lax.conv_general_dilated(
                 x, kernel, (2, 2), ((3, 3), (3, 3)), dimension_numbers=dn)
         xs = x.reshape(B, H // 2, 2, W // 2, 2, C).transpose(

@@ -15,8 +15,12 @@ from now on (restore with
 ``advshadow_tpu.train.restore_ckpt_from_npz``).
 
 Phases (resumable; each skips itself if its output already exists):
-  data       - synthetic procedural dataset, 200/class train (idx 0..),
-               64/class eval (idx 1000..), seed 0, 128 px
+  data       - synthetic procedural dataset, 50/class train (idx 0..),
+               64/class eval (idx 1000..), seed 0, 128 px.  The 50 is
+               derived from the original run's own numbers: its steady
+               39.3 s epochs at the measured 1.24 s/step train step give
+               ~31 steps/epoch = ~500 images at batch 16 (a 200/class
+               split reproduces 125-step, 155 s epochs — measured)
   victim     - resnet18 fine-tune, 8 epochs batch 32 lr 1e-3 seed 0
                (the shadow-synthesis victim; the committed
                victim128_strong npz [40 epochs] remains the EVAL victim)
@@ -45,7 +49,7 @@ ART = os.path.join(REPO, "artifacts", "at_size_128")
 DATA = os.environ.get("ADVSHADOW_128_DATA", "/tmp/advshadow_128")
 RESULTS = os.path.join(ART, "diffusion_run")
 CKPT = os.path.join(RESULTS, "shadow128", "ckpt_last")
-SIZE, N_TRAIN_PER_CLS, N_EVAL_PER_CLS, EPOCHS = 128, 200, 64, 300
+SIZE, N_TRAIN_PER_CLS, N_EVAL_PER_CLS, EPOCHS = 128, 50, 64, 300
 
 
 def log(msg):
@@ -104,6 +108,8 @@ def _train_argv(resume: bool):
         "--num_classes", "10", "--channels", "32,64,128,256,512,1024",
         "--ckpt_every", "10",
         "--victim", "resnet18", "--victim_ckpt", _victim_npz(),
+        "--vis", "0",   # original run had vis=false; the per-epoch
+        # 500-step sample at 128 px also crashes the axon relay
         "--targeted", "1", "--shadow_intensity", "0.43",
         "--shadow_iterations", "1", "--attack_epsilon", "0.05",
         "--attack_alpha", "0.005", "--attack_iterations", "20",

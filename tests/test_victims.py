@@ -185,7 +185,7 @@ class TestStemTransforms:
         np.testing.assert_allclose(np.asarray(out2.reshape(2, -1, 24)),
                                    np.asarray(ref), atol=1e-5)
 
-    @pytest.mark.parametrize("hw", [112, 224])
+    @pytest.mark.parametrize("hw", [160, 224])
     def test_stem_conv_s2d_equals_direct(self, hw):
         from advshadow_tpu.victims.resnet import _StemConv
 
@@ -204,7 +204,7 @@ class TestStemTransforms:
     def test_stem_conv_small_input_direct_path(self):
         from advshadow_tpu.victims.resnet import _StemConv
 
-        # below the 112 px gate the direct conv runs; shapes/values still
+        # below the 160 px gate the direct conv runs; shapes/values still
         # follow torchvision conv7x7/s2/p3 semantics
         x = jax.random.uniform(jax.random.PRNGKey(0), (2, 64, 64, 3))
         mod = _StemConv(8)
@@ -217,7 +217,7 @@ class TestStemTransforms:
 
         # the attack differentiates through the victim to the pixels —
         # the s2d rewrite must preserve the input gradient too
-        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 112, 112, 3))
+        x = jax.random.uniform(jax.random.PRNGKey(0), (1, 160, 160, 3))
         mod = _StemConv(4)
         v = mod.init(jax.random.PRNGKey(1), x)
         k = v["params"]["kernel"]
