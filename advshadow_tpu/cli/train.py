@@ -83,6 +83,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--start_model_interval", type=int, default=-1)
     p.add_argument("--vis", type=str2bool, default=True)
     p.add_argument("--num_vis", type=int, default=-1)
+    p.add_argument("--vis_sample_steps", type=int, default=None,
+                   help="sampler steps for the per-epoch vis grids "
+                        "(default: the sampler's own default, 500 for "
+                        "framework ddim/plms — the reference's per-epoch "
+                        "cost; lower for cheaper vis)")
     p.add_argument("--image_format", type=str, default="png",
                    choices=choices.image_format_choices)
     p.add_argument("--noise_schedule", type=str, default="framework_linear",
@@ -232,18 +237,36 @@ def train(args) -> dict:
         if args.vis and jax.process_index() == 0:
             n = num_classes if args.num_vis <= 0 else args.num_vis
             n = min(n, 16)
-            labels = (jnp.arange(n, dtype=jnp.int32) % num_classes
-                      if args.conditional else None)
+            # vis sampling runs the net in bf16 under amp and sub-batches
+            # at >=128 px: an f32 CFG-2N sample at the 128 px flagship's
+            # full-res attention crashes the axon relay (params are f32
+            # either way; vis grids are uint8)
+            vis_model = (make_network(
+                args.network,
+                num_classes=num_classes if args.conditional else None,
+                act=args.act, dtype=jnp.bfloat16, **net_kwargs)
+                if args.amp else model)
+            chunk = 8 if args.image_size >= 128 else n
+            vis_kwargs = ({"sample_steps": args.vis_sample_steps}
+                          if args.vis_sample_steps
+                          and args.sample != "ddpm" else {})
             # the reference saves grids from BOTH the raw and the EMA model
             # per epoch (ref: tools/train.py:240-258)
             for tag, p_ in (("", state.params), ("_ema", state.ema_params)):
-                denoise = make_denoise_fn(
-                    model.apply, p_, labels,
-                    args.cfg_scale if args.conditional else None)
-                rng, vis_rng = jax.random.split(rng)
-                x = sampler(coeffs, denoise, vis_rng,
-                            (n, args.image_size, args.image_size, 3))
-                save_images(np.asarray(to_uint8(x)),
+                rows = []
+                for s in range(0, n, chunk):
+                    m = min(chunk, n - s)
+                    labels = (jnp.arange(s, s + m, dtype=jnp.int32)
+                              % num_classes if args.conditional else None)
+                    denoise = make_denoise_fn(
+                        vis_model.apply, p_, labels,
+                        args.cfg_scale if args.conditional else None)
+                    rng, vis_rng = jax.random.split(rng)
+                    x = sampler(coeffs, denoise, vis_rng,
+                                (m, args.image_size, args.image_size, 3),
+                                **vis_kwargs)
+                    rows.append(np.asarray(to_uint8(x)))
+                save_images(np.concatenate(rows),
                             f"{dirs['vis_dir']}/{args.run_name}-{epoch}{tag}."
                             f"{args.image_format}")
 

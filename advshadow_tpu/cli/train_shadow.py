@@ -193,13 +193,28 @@ def train_shadow(args) -> dict:
 
         if args.vis and jax.process_index() == 0:
             n = min(num_classes, 16)
-            denoise = make_denoise_fn(
-                model.apply, state.ema_params,
-                jnp.arange(n, dtype=jnp.int32), args.cfg_scale)
-            rng, vis_rng = jax.random.split(rng)
-            x = sampler(coeffs, denoise, vis_rng,
-                        (n, args.image_size, args.image_size, 3))
-            save_images(np.asarray(to_uint8(x)),
+            # bf16 + sub-batching at >=128 px: an f32 CFG-2N sample at
+            # the flagship's full-res attention crashes the axon relay
+            vis_model = (make_network(args.network, num_classes=num_classes,
+                                      act=args.act, dtype=jnp.bfloat16,
+                                      **net_kwargs)
+                         if args.amp else model)
+            chunk = 8 if args.image_size >= 128 else n
+            vis_kwargs = ({"sample_steps": args.vis_sample_steps}
+                          if args.vis_sample_steps
+                          and args.sample != "ddpm" else {})
+            rows = []
+            for s in range(0, n, chunk):
+                m = min(chunk, n - s)
+                denoise = make_denoise_fn(
+                    vis_model.apply, state.ema_params,
+                    jnp.arange(s, s + m, dtype=jnp.int32), args.cfg_scale)
+                rng, vis_rng = jax.random.split(rng)
+                x = sampler(coeffs, denoise, vis_rng,
+                            (m, args.image_size, args.image_size, 3),
+                            **vis_kwargs)
+                rows.append(np.asarray(to_uint8(x)))
+            save_images(np.concatenate(rows),
                         f"{dirs['vis_dir']}/{args.run_name}-{epoch}."
                         f"{args.image_format}")
 

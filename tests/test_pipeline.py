@@ -626,3 +626,47 @@ class TestPLMSGeneration:
             "--num_images", "2", "--sample_steps", "20",
         ])
         assert imgs.shape == (2, 16, 16, 3)
+
+
+class TestVisSampling:
+    def test_train_vis_writes_grids(self, dataset, tmp_path):
+        """--vis with --amp: the per-epoch grids sample through a bf16
+        copy of the net, sub-batched at large sizes (the f32 CFG-2N
+        full-res sample crashed the axon relay at 128 px)."""
+        import glob
+
+        from advshadow_tpu.cli.train import main as train_main
+
+        result_path = str(tmp_path / "results")
+        out = train_main([
+            "--dataset_path", dataset, "--result_path", result_path,
+            "--run_name", "v", "--sample", "ddim", "--vis", "1",
+            "--amp", "1", "--vis_sample_steps", "4",
+            "--channels", "8,16,32,64,128,256", "--image_size", "16",
+            "--batch_size", "4", "--epochs", "1",
+        ])
+        assert np.isfinite(out["loss"][-1])
+        grids = glob.glob(os.path.join(out["results_dir"], "vis", "*.png"))
+        # raw + EMA grid per epoch (ref: tools/train.py:240-258)
+        assert len(grids) == 2, grids
+
+    def test_shadow_train_vis_writes_grid(self, shadow_dataset, tmp_path):
+        import glob
+
+        from advshadow_tpu.cli.train_shadow import main as shadow_main
+
+        img_dir, mask_dir, labels_json = shadow_dataset
+        out = shadow_main([
+            "--dataset_path", img_dir, "--mask_dir", mask_dir,
+            "--labels_json", labels_json,
+            "--result_path", str(tmp_path / "sresults"),
+            "--run_name", "sv", "--sample", "ddim", "--vis", "1",
+            "--amp", "1", "--vis_sample_steps", "4",
+            "--victim", "resnet18",
+            "--shadow_iterations", "1", "--attack_iterations", "2",
+            "--channels", "8,16,32,64,128,256", "--image_size", "16",
+            "--batch_size", "4", "--epochs", "1",
+        ])
+        assert np.isfinite(out["loss"][-1])
+        grids = glob.glob(os.path.join(out["results_dir"], "vis", "*.png"))
+        assert len(grids) == 1, grids

@@ -341,3 +341,37 @@ class TestMiscUtils:
         log.info("hello webui")
         assert any("hello webui" in line for line in log.webui_text)
         assert "hello webui" in (tmp_path / "x.log").read_text()
+
+
+class TestAtSize128Recipe:
+    def test_runner_argv_matches_committed_train_log(self):
+        """The reproducibility driver's training argv must parse to the
+        exact arg dict recorded in the committed train.log of the
+        original 300-epoch flagship run (examples/at_size_128_run.py
+        re-derives the recipe from that log)."""
+        import json
+
+        from advshadow_tpu.cli.train_shadow import build_parser
+        from examples.at_size_128_run import _train_argv
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        log_path = os.path.join(repo, "artifacts", "at_size_128",
+                                "diffusion_run", "shadow128", "train.log")
+        with open(log_path) as f:
+            # the 300-epoch entry of the original run
+            entries = [json.loads(line.split("]: ", 1)[1])
+                       for line in f if "]: {" in line]
+        recorded = next(e for e in entries if e["epochs"] == 300)
+
+        argv = _train_argv(resume=False)
+        args = vars(build_parser().parse_args(argv[3:]))  # skip python -m mod
+
+        # fields that are allowed to differ from the original run:
+        # paths (DATA env / npz-vs-pkl victim store), resume bookkeeping
+        path_keys = {"dataset_path", "mask_dir", "labels_json",
+                     "victim_ckpt", "result_path", "resume", "start_epoch",
+                     "ckpt_every"}
+        for key, want in recorded.items():
+            if key in path_keys or key not in args:
+                continue
+            assert args[key] == want, f"{key}: runner={args[key]} log={want}"
