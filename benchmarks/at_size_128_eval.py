@@ -434,7 +434,14 @@ EPOCH_RE = re.compile(r"epoch (\d+): loss=([0-9.]+)")
 
 def phase_loss_curve(metrics):
     losses = {}
-    for name in ("run_log.txt", "resume_log.txt", "run_log_r3.txt"):
+    # run_log_r3b.txt is the committed-recipe reproduction
+    # (examples/at_size_128_run.py) whose checkpoint the battery now
+    # evaluates; when present it supersedes the original (lost-weights)
+    # run's logs, which stay committed as historical evidence
+    names = ("run_log.txt", "resume_log.txt", "run_log_r3.txt")
+    if os.path.exists(os.path.join(ART, "run_log_r3b.txt")):
+        names = ("run_log_r3b.txt",)
+    for name in names:
         p = os.path.join(ART, name)
         if not os.path.exists(p):
             continue

@@ -128,10 +128,20 @@ def _trained_epochs() -> int:
         return int(json.load(f).get("start_epoch", 0))
 
 
-def phase_diffusion(max_attempts: int = 12):
+def _ckpt_mtime() -> float:
+    meta = os.path.join(CKPT, "metadata.json")
+    return os.path.getmtime(meta) if os.path.exists(meta) else 0.0
+
+
+def phase_diffusion(max_attempts: int = 12, stall_seconds: int = 1200):
     """Train to EPOCHS with a watchdog: the TPU relay occasionally wedges
     mid-run (see artifacts/at_size_128/resume_log.txt from the original
-    round-3 run); each restart resumes from ckpt_last."""
+    round-3 run) — sometimes by crashing the trainer, sometimes by
+    HANGING it (process alive, no progress; observed at epoch 90 of the
+    reproduction).  Progress is tracked via ckpt_last's metadata mtime
+    (written every --ckpt_every=10 epochs ~= 6.5 min); no update for
+    ``stall_seconds`` kills the child.  Each restart resumes from
+    ckpt_last."""
     attempt = 0
     while _trained_epochs() < EPOCHS - 1:
         resume = os.path.exists(CKPT)
@@ -142,8 +152,21 @@ def phase_diffusion(max_attempts: int = 12):
                 f"{max_attempts} attempts (at {_trained_epochs()})")
         log(f"train attempt {attempt} (resume={resume}, "
             f"epoch {_trained_epochs()})")
-        proc = subprocess.run(_train_argv(resume), cwd=REPO)
-        log(f"trainer exited rc={proc.returncode} "
+        child = subprocess.Popen(_train_argv(resume), cwd=REPO)
+        last_progress = time.time()
+        last_mtime = _ckpt_mtime()
+        while child.poll() is None:
+            time.sleep(30)
+            m = _ckpt_mtime()
+            if m > last_mtime:
+                last_mtime, last_progress = m, time.time()
+            elif time.time() - last_progress > stall_seconds:
+                log(f"STALL: no checkpoint progress in {stall_seconds}s "
+                    f"(epoch {_trained_epochs()}) — killing trainer")
+                child.kill()
+                child.wait()
+                break
+        log(f"trainer exited rc={child.returncode} "
             f"(epoch {_trained_epochs()})")
         time.sleep(10)
     log(f"diffusion trained to epoch {_trained_epochs()}")
