@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_steps", type=int, default=None,
                    help="DDIM/PLMS stride steps (default: the reference's "
                         "500-of-1000, ref model/samples/ddim.py:25)")
+    p.add_argument("--dynamic_threshold", type=float, default=None,
+                   help="Imagen-style per-sample percentile thresholding "
+                        "of x0 predictions (e.g. 0.995) for the dpmpp/"
+                        "dpmpp_sde samplers; replaces the static clip — "
+                        "a third guided-saturation remedy")
     p.add_argument("--sample_method", type=str, default=None,
                    choices=["uniform", "quad", "logsnr", "karras"],
                    help="ddim/dpmpp/dpmpp_sde timestep spacing: "
@@ -119,6 +124,9 @@ def generate(args) -> np.ndarray:
     if getattr(args, "sample_method", None) and sample in ("ddim", "dpmpp",
                                                            "dpmpp_sde"):
         kwargs["method"] = args.sample_method
+    if getattr(args, "dynamic_threshold", None) and sample in ("dpmpp",
+                                                               "dpmpp_sde"):
+        kwargs["dynamic_threshold"] = args.dynamic_threshold
     if sample == "plms" and conditional:
         # the reference's PLMS bootstrap forward skips CFG
         # (ref: model/samples/plms.py:104-108)

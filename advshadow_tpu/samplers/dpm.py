@@ -50,6 +50,13 @@ The injected noise re-randomizes the trajectory each step (a second,
 independent remedy for guided saturation).  Pair with
 ``cfg_rescale``/``cfg_interval`` in samplers.base.make_denoise_fn for
 the guided fast-sampling path.
+
+``dynamic_threshold`` (Saharia et al. 2022 "Imagen", Sec. 2.3) replaces
+the static clip with a per-sample percentile threshold: s =
+max(1, quantile(|x0|, p)); x0 <- clip(x0, -s, s) / s.  A no-op whenever
+the prediction already lies in [-1, 1] (s saturates at 1), it only
+engages on the CFG overshoot — the third independent guided-saturation
+remedy, composable with the other two.
 """
 
 from __future__ import annotations
@@ -127,6 +134,7 @@ def dpmpp2m_sample(
     clip_denoised: bool = True,
     x_init: jax.Array | None = None,
     sde: bool = False,
+    dynamic_threshold: float | None = None,
 ) -> jax.Array:
     """Sample with DPM-Solver++(2M). Returns x in [-1, 1] space.
 
@@ -134,6 +142,9 @@ def dpmpp2m_sample(
     ``x_init`` overrides the PRNG initial draw (parity/eval hook).
     ``sde=True`` selects SDE-DPM-Solver++(2M) (ancestral noise each step;
     better under large CFG — see module docstring).
+    ``dynamic_threshold`` in (0, 1]: percentile p for Imagen-style
+    per-sample thresholding of the x0 predictions (module docstring);
+    overrides the static clip when set.
     """
     (ts, alpha_cur, sigma_cur, alpha_next, sigma_next, c,
      emh, em2h, noise_sde) = dpmpp2m_tables(
@@ -147,13 +158,21 @@ def dpmpp2m_sample(
         init_rng, tuple(shape), dtype=jnp.float32)
     step_keys = jax.random.split(rng, n_steps)
 
+    def threshold(v):
+        if dynamic_threshold is not None:
+            # Imagen dynamic thresholding: per-sample percentile scale.
+            # s saturates at 1, so in-range predictions pass unchanged.
+            s = jnp.quantile(jnp.abs(v.reshape(v.shape[0], -1)),
+                             dynamic_threshold, axis=1)
+            s = jnp.maximum(s, 1.0).reshape((-1,) + (1,) * (v.ndim - 1))
+            return jnp.clip(v, -s, s) / s
+        return jnp.clip(v, -1.0, 1.0) if clip_denoised else v
+
     def step(carry, inp):
         x, d_prev = carry
         t, a_t, s_t, a_nxt, s_nxt, ci, e_h, e_2h, n_sde, key = inp
         eps = denoise_fn(x, jnp.full((n,), t, dtype=jnp.int32))
-        d = (x - s_t * eps) / a_t
-        if clip_denoised:
-            d = jnp.clip(d, -1.0, 1.0)
+        d = threshold((x - s_t * eps) / a_t)
         d_bar = (1.0 + ci) * d - ci * d_prev  # ci=0 on the bootstrap step
         # Thresholded data-prediction form (module docstring): fold the
         # x-carry into an effective x0 so clipping reins in the FULL
@@ -161,9 +180,7 @@ def dpmpp2m_sample(
         # clip(x0_hat) (ref: diff_model.py:379).  Identical to the
         # textbook sigma-ratio update when clip_denoised=False.
         decay = e_2h if sde else e_h
-        x0_eff = decay * d + (1.0 - decay) * d_bar
-        if clip_denoised:
-            x0_eff = jnp.clip(x0_eff, -1.0, 1.0)
+        x0_eff = threshold(decay * d + (1.0 - decay) * d_bar)
         if sde:
             z = jax.random.normal(key, x.shape, x.dtype)
             x = a_nxt * x0_eff + s_nxt * e_h * eps + n_sde * z
@@ -187,9 +204,10 @@ def dpmpp2m_sde_sample(
     method: str = "uniform",
     clip_denoised: bool = True,
     x_init: jax.Array | None = None,
+    dynamic_threshold: float | None = None,
 ) -> jax.Array:
     """Registry entry point for SDE-DPM-Solver++(2M) (``--sample dpmpp_sde``)."""
     return dpmpp2m_sample(coeffs, denoise_fn, rng, shape,
                           sample_steps=sample_steps, method=method,
                           clip_denoised=clip_denoised, x_init=x_init,
-                          sde=True)
+                          sde=True, dynamic_threshold=dynamic_threshold)

@@ -94,6 +94,8 @@ def default_generate_fn(request: Dict) -> Dict:
     if request.get("sample_method") and sample in ("ddim", "dpmpp",
                                                    "dpmpp_sde"):
         kwargs["method"] = str(request["sample_method"])
+    if request.get("dynamic_threshold") and sample in ("dpmpp", "dpmpp_sde"):
+        kwargs["dynamic_threshold"] = float(request["dynamic_threshold"])
     if sample == "plms" and conditional:
         kwargs["boot_denoise_fn"] = make_denoise_fn(model.apply, params,
                                                     labels, None)

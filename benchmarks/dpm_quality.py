@@ -61,6 +61,16 @@ CONFIGS = [
      "extra": ["--sample_method", "karras"], "tag_suffix": "_karras"},
     {"sampler": "dpmpp_sde", "steps": 30,
      "extra": ["--sample_method", "logsnr"], "tag_suffix": "_logsnr"},
+    # round-3: Imagen dynamic thresholding (the third guided-saturation
+    # remedy; samplers/dpm.py module docstring), alone and on the best
+    # dpmpp grid
+    {"sampler": "dpmpp", "steps": 20,
+     "extra": ["--dynamic_threshold", "0.995"], "tag_suffix": "_dt"},
+    {"sampler": "dpmpp_sde", "steps": 20,
+     "extra": ["--dynamic_threshold", "0.995"], "tag_suffix": "_dt"},
+    {"sampler": "dpmpp_sde", "steps": 20,
+     "extra": ["--sample_method", "logsnr", "--dynamic_threshold", "0.995"],
+     "tag_suffix": "_logsnr_dt"},
     # equal-NFE baseline for the fast-sampler comparison
     {"sampler": "ddim", "steps": 20, "extra": []},
     # round-3: the few-step grids applied to the proven fast path (DDIM)

@@ -376,6 +376,40 @@ class TestDPMSolverPPSDE:
         np.testing.assert_allclose(np.asarray(out), np.asarray(x_star),
                                    atol=8e-2)
 
+    def test_dynamic_threshold_noop_in_range_engages_on_overshoot(self):
+        """Imagen dynamic thresholding (Saharia et al. 2022): the
+        percentile scale saturates at 1, so an in-range oracle gives a
+        BIT-IDENTICAL trajectory to the static clip; an overshooting
+        oracle (|x0| > 1, the CFG failure mode) engages the rescale and
+        keeps the effective x0 inside [-1, 1]."""
+        from advshadow_tpu.samplers import dpmpp2m_sample
+
+        coeffs = make_diffusion(1000, "linear")
+        x_star = jnp.full(SHAPE, 0.2)
+        fn = oracle_denoiser(coeffs, x_star)
+        base = dpmpp2m_sample(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                              sample_steps=10)
+        dyn = dpmpp2m_sample(coeffs, fn, jax.random.PRNGKey(0), SHAPE,
+                             sample_steps=10, dynamic_threshold=0.995)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(dyn))
+
+        # spatially-varying overshoot (a constant field is degenerate:
+        # clip(v,-s,s)/s == clip(v,-1,1) when v is uniform) — the ramp is
+        # what the percentile rescale preserves and the static clip flattens
+        ramp = jnp.linspace(0.0, 3.0, int(np.prod(SHAPE))).reshape(SHAPE)
+        hot = oracle_denoiser(coeffs, ramp)
+        out = dpmpp2m_sample(coeffs, hot, jax.random.PRNGKey(0), SHAPE,
+                             sample_steps=10, dynamic_threshold=0.995)
+        assert np.isfinite(np.asarray(out)).all()
+        # final step: x = alpha*x0_eff + sigma*eps with x0_eff in [-1,1]
+        # and sigma ~ 0 at t=0
+        assert np.abs(np.asarray(out)).max() <= 1.2
+        ref = dpmpp2m_sample(coeffs, hot, jax.random.PRNGKey(0), SHAPE,
+                             sample_steps=10)
+        # static clip saturates the top of the ramp; the rescale keeps it
+        # graded — the trajectories must genuinely diverge
+        assert not np.allclose(np.asarray(out), np.asarray(ref))
+
     def test_ddim_nonuniform_grids(self):
         """DDIM (both variants) accepts the shared logsnr/karras few-step
         grids: oracle recovery stays exact-ish, and the framework entry
