@@ -59,7 +59,7 @@ def _victim_ckpt() -> str:
     if os.path.exists(strong):
         return strong
     return os.path.join(ART, "victim_run", "victim128",
-                        "victim_resnet18.pkl")
+                        "victim_resnet18.npz")
 
 
 def log(msg):
@@ -218,7 +218,7 @@ def phase_attack(eval_root, metrics):
 
 
 def _gen_and_eval(tag, sampler, steps, method, cfg_scale,
-                  per_cls=PER_CLS, save_grid=False):
+                  per_cls=PER_CLS, save_grid=False, extra_argv=()):
     """Generate per_cls x N_CLS images with one sampler config and score
     them (FID generated-vs-train + victim accuracy).  Returns a
     self-describing metrics block (round-2 verdict Weak #5)."""
@@ -253,6 +253,7 @@ def _gen_and_eval(tag, sampler, steps, method, cfg_scale,
             ]
             if method is not None:
                 argv += ["--sample_method", method]
+            argv += list(extra_argv)
             imgs = generate_main(argv)
             if c > 0 or j > 0:
                 t_warm += time.time() - t0
@@ -291,6 +292,7 @@ def _gen_and_eval(tag, sampler, steps, method, cfg_scale,
                                            / max(t_warm, 1e-9), 2),
         "config": {"sampler": sampler, "sample_steps": steps,
                    "sample_method": method or "uniform",
+                   "extra_flags": list(extra_argv),
                    "cfg_scale": cfg_scale,
                    "use_ema": True, "dtype": "bf16",
                    "seed": "1000 + n_sub*class_index + sub_batch",
@@ -318,14 +320,17 @@ def phase_gen_grid(metrics):
     128 px so the fast-sampling claim is proven at size, not
     extrapolated from 64 px."""
     grid = [
-        ("ddim20_logsnr", "ddim", 20, "logsnr", 3),
-        ("ddim20_karras", "ddim", 20, "karras", 3),
-        ("dpmpp_sde20_logsnr", "dpmpp_sde", 20, "logsnr", 3),
+        ("ddim20_logsnr", "ddim", 20, "logsnr", 3, ()),
+        ("ddim20_karras", "ddim", 20, "karras", 3, ()),
+        ("dpmpp_sde20_logsnr", "dpmpp_sde", 20, "logsnr", 3, ()),
+        # Imagen dynamic thresholding (round-3 sampler addition)
+        ("dpmpp_sde20_logsnr_dt", "dpmpp_sde", 20, "logsnr", 3,
+         ("--dynamic_threshold", "0.995")),
     ]
     rows = {}
-    for tag, sampler, steps, method, cfg in grid:
+    for tag, sampler, steps, method, cfg, extra in grid:
         rows[tag] = _gen_and_eval(tag, sampler, steps, method, cfg,
-                                  per_cls=32)
+                                  per_cls=32, extra_argv=extra)
     metrics["generation_grid"] = rows
     return metrics
 
@@ -434,13 +439,15 @@ EPOCH_RE = re.compile(r"epoch (\d+): loss=([0-9.]+)")
 
 def phase_loss_curve(metrics):
     losses = {}
-    # run_log_r3b.txt is the committed-recipe reproduction
+    # repro_log.txt is the committed-recipe reproduction
     # (examples/at_size_128_run.py) whose checkpoint the battery now
     # evaluates; when present it supersedes the original (lost-weights)
-    # run's logs, which stay committed as historical evidence
+    # run's logs, which stay committed as historical evidence.  Watchdog
+    # restarts re-train a few epochs — the dict keeps the last
+    # occurrence of each epoch, i.e. the one the final weights saw.
     names = ("run_log.txt", "resume_log.txt", "run_log_r3.txt")
-    if os.path.exists(os.path.join(ART, "run_log_r3b.txt")):
-        names = ("run_log_r3b.txt",)
+    if os.path.exists(os.path.join(ART, "repro_log.txt")):
+        names = ("repro_log.txt",)
     for name in names:
         p = os.path.join(ART, name)
         if not os.path.exists(p):
@@ -490,7 +497,16 @@ def main(argv=None):
         "attack", "generate", "sweep", "loss"]
     out_path = os.path.join(REPO, "TRAINED128_r03.json")
     metrics = {"checkpoint": os.path.relpath(CKPT, REPO),
-               "image_size": SIZE}
+               "image_size": SIZE,
+               # the orbax tree is .gitignored; the COMMITTED evidence is
+               # the f16 EMA npz + metadata.json next to it, and the whole
+               # run re-derives from scratch via the driver below
+               "provenance": {
+                   "driver": "examples/at_size_128_run.py",
+                   "committed_weights": "artifacts/at_size_128/"
+                                        "ema_params_f16.npz",
+                   "restore": "advshadow_tpu.train.restore_ckpt_from_npz",
+               }}
     if os.path.exists(out_path):  # accumulate across phase-wise runs
         with open(out_path) as f:
             metrics.update(json.load(f))
