@@ -124,9 +124,16 @@ def generate(args) -> np.ndarray:
     if getattr(args, "sample_method", None) and sample in ("ddim", "dpmpp",
                                                            "dpmpp_sde"):
         kwargs["method"] = args.sample_method
-    if getattr(args, "dynamic_threshold", None) and sample in ("dpmpp",
-                                                               "dpmpp_sde"):
-        kwargs["dynamic_threshold"] = args.dynamic_threshold
+    if getattr(args, "dynamic_threshold", None) is not None:
+        if not 0.0 < args.dynamic_threshold <= 1.0:
+            raise SystemExit("--dynamic_threshold must be a percentile in "
+                             f"(0, 1], got {args.dynamic_threshold}")
+        if sample in ("dpmpp", "dpmpp_sde"):
+            kwargs["dynamic_threshold"] = args.dynamic_threshold
+        else:
+            logger.warning(f"--dynamic_threshold ignored: sampler {sample!r} "
+                           "only supports static clipping (use dpmpp or "
+                           "dpmpp_sde)")
     if sample == "plms" and conditional:
         # the reference's PLMS bootstrap forward skips CFG
         # (ref: model/samples/plms.py:104-108)

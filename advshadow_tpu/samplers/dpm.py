@@ -178,7 +178,8 @@ def dpmpp2m_sample(
         # x-carry into an effective x0 so clipping reins in the FULL
         # guided overshoot each step, exactly like the reference DDIM's
         # clip(x0_hat) (ref: diff_model.py:379).  Identical to the
-        # textbook sigma-ratio update when clip_denoised=False.
+        # textbook sigma-ratio update when clip_denoised=False and
+        # dynamic_threshold is None (threshold() rescales otherwise).
         decay = e_2h if sde else e_h
         x0_eff = threshold(decay * d + (1.0 - decay) * d_bar)
         if sde:

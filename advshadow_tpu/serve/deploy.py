@@ -95,7 +95,11 @@ def default_generate_fn(request: Dict) -> Dict:
                                                    "dpmpp_sde"):
         kwargs["method"] = str(request["sample_method"])
     if request.get("dynamic_threshold") and sample in ("dpmpp", "dpmpp_sde"):
-        kwargs["dynamic_threshold"] = float(request["dynamic_threshold"])
+        dt = float(request["dynamic_threshold"])
+        if not 0.0 < dt <= 1.0:
+            raise ValueError("dynamic_threshold must be a percentile in "
+                             f"(0, 1], got {dt}")
+        kwargs["dynamic_threshold"] = dt
     if sample == "plms" and conditional:
         kwargs["boot_denoise_fn"] = make_denoise_fn(model.apply, params,
                                                     labels, None)

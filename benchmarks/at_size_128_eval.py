@@ -460,8 +460,19 @@ def phase_loss_curve(metrics):
                 losses[int(m.group(1))] = float(m.group(2))
     epochs = sorted(losses)
     curve = [losses[e] for e in epochs]
+    # self-describing completeness: the 300-epoch protocol claim is only
+    # backed when the source log actually reaches it (a partially
+    # committed repro_log would otherwise report e.g. final_epoch=82
+    # alongside "protocol: 300 epochs")
+    protocol_epochs = 300
     with open(os.path.join(ART, "loss_curve_128.json"), "w") as f:
-        json.dump({"epochs": epochs, "loss": curve}, f)
+        json.dump({"epochs": epochs, "loss": curve,
+                   "source_logs": list(names),
+                   "protocol_epochs": protocol_epochs,
+                   "epochs_logged": len(epochs),
+                   "final_epoch": epochs[-1] if epochs else None,
+                   "complete": bool(epochs and
+                                    epochs[-1] >= protocol_epochs - 1)}, f)
     try:
         import matplotlib
 

@@ -410,6 +410,23 @@ class TestDPMSolverPPSDE:
         # graded — the trajectories must genuinely diverge
         assert not np.allclose(np.asarray(out), np.asarray(ref))
 
+    def test_dynamic_threshold_forwarded_to_sde_sampler(self):
+        """dpmpp2m_sde_sample forwards dynamic_threshold into the shared
+        scan (the SDE entry is a thin wrapper): an overshooting oracle must
+        diverge from the static-clip SDE trajectory yet stay bounded."""
+        from advshadow_tpu.samplers import dpmpp2m_sde_sample
+
+        coeffs = make_diffusion(1000, "linear")
+        ramp = jnp.linspace(0.0, 3.0, int(np.prod(SHAPE))).reshape(SHAPE)
+        hot = oracle_denoiser(coeffs, ramp)
+        dyn = dpmpp2m_sde_sample(coeffs, hot, jax.random.PRNGKey(0), SHAPE,
+                                 sample_steps=10, dynamic_threshold=0.995)
+        ref = dpmpp2m_sde_sample(coeffs, hot, jax.random.PRNGKey(0), SHAPE,
+                                 sample_steps=10)
+        assert np.isfinite(np.asarray(dyn)).all()
+        assert np.abs(np.asarray(dyn)).max() <= 1.2
+        assert not np.allclose(np.asarray(dyn), np.asarray(ref))
+
     def test_ddim_nonuniform_grids(self):
         """DDIM (both variants) accepts the shared logsnr/karras few-step
         grids: oracle recovery stays exact-ish, and the framework entry
