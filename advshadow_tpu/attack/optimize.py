@@ -71,6 +71,18 @@ class ShadowOptConfig:
     # differentiability mode
     hard: bool = False                # True = exact reference mask semantics
     sharpness: float = 1.0
+    # Corrected untargeted mode.  The reference's untargeted path passes
+    # the TRUE label to the CE-*descending* inner attack
+    # (ref: ddim2/test_main.py:160-168) — the pixel attack actively
+    # repairs the classification, a measured no-op at size.  With
+    # ``untargeted_ascent=True`` the inner attack instead maximizes CE
+    # against the victim's own argmax (the self-label loss the reference
+    # uses in its FGSM/BIM/PGD baselines, ref: ddim2/adv_test.py:29-30).
+    # The OUTER loss needs no sign change: with ``target_label`` = true
+    # label, minimizing ``adv_weight * CE`` (adv_weight < 0) already
+    # ASCENDS CE of the true label (ref: ddim2/test.py:560) — only the
+    # inner direction was broken.  False keeps exact reference compat.
+    untargeted_ascent: bool = False
     # The reference initializes the center from
     # torch.nonzero(mask).float().mean(0)[1:] on a [1, H, W] mask — that
     # is (y_bar, x_bar) — and then reads element 0 as the X offset
@@ -168,13 +180,14 @@ def optimize_shadow_position(
                     victim_fn, shadowed, target_label, combined_mask, key,
                     epsilon=config.inner_epsilon, alpha=config.inner_alpha,
                     iterations=config.inner_iterations, steps=config.inner_steps,
-                    baseline=baseline,
+                    baseline=baseline, ascent=config.untargeted_ascent,
                 )
             else:
                 adv, pert = iterative_gradient_attack(
                     victim_fn, shadowed, target_label, combined_mask,
                     epsilon=config.inner_epsilon, alpha=config.inner_alpha,
                     iterations=config.inner_iterations,
+                    ascent=config.untargeted_ascent,
                 )
             # the reference detaches the attacked image
             # (ref: ddim2/test.py:681); shadow-parameter gradients flow

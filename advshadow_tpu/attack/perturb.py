@@ -53,6 +53,7 @@ def integrated_gradients_attack(
     iterations: int = 10,
     steps: int = 20,
     baseline: jax.Array | None = None,
+    ascent: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Iterative IG sign attack on a single [H, W, C] image.
 
@@ -61,9 +62,21 @@ def integrated_gradients_attack(
     perturbation -= alpha/sqrt(i+1) * sign(g), clamp to ±epsilon; returns
     (clip(image + perturbation, 0, 1), perturbation).  ``baseline``
     overrides the PRNG draw (cross-pipeline parity hook).
+
+    ``ascent=True`` is the corrected UNTARGETED direction: ``label`` is
+    ignored in favor of the victim's own prediction on ``image`` (the
+    self-label untargeted loss the reference itself uses in its
+    FGSM/BIM/PGD baselines, ref: ddim2/adv_test.py:29-30) and the step
+    sign flips so CE is maximized.  The reference's untargeted shadow
+    path instead passes the TRUE label to this CE-*descending* attack
+    (ref: ddim2/test_main.py:160-168), which actively repairs the
+    classification — a measured no-op at 128 px.
     """
     if baseline is None:
         baseline = jax.random.normal(rng, image.shape, image.dtype)
+    if ascent:
+        label = jax.lax.stop_gradient(
+            safe_argmax(victim_fn(image[None]))[0])
     ks = jnp.arange(steps + 1, dtype=jnp.float32) / steps  # [S+1]
     # the whole path as one batch: [S+1, H, W, C].  The reference takes
     # gradients w.r.t. EACH PATH POINT (interp_img.grad,
@@ -98,7 +111,8 @@ def integrated_gradients_attack(
     sign = jnp.sign(norm_g * feature_mask[..., None])
     total_step = alpha * jnp.sum(
         1.0 / jnp.sqrt(jnp.arange(iterations, dtype=jnp.float32) + 1.0))
-    perturbation = jnp.clip(-total_step * sign, -epsilon, epsilon)
+    direction = total_step if ascent else -total_step
+    perturbation = jnp.clip(direction * sign, -epsilon, epsilon)
     perturbed = jnp.clip(image + perturbation, 0.0, 1.0)
     return perturbed, perturbation
 
@@ -111,24 +125,38 @@ def iterative_gradient_attack(
     epsilon: float = 0.05,
     alpha: float = 0.005,
     iterations: int = 20,
+    ascent: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Plain masked iterative sign attack (IGA) on a single [H, W, C]
     image — the train-time inner attack
     (ref: tools/train_shadow.py:177-221, ddim2/diff_model2.py:572-613):
     grad of CE at (image + perturbation), masked, fixed step alpha,
     clamp to ±epsilon.
-    """
 
-    def ce_at(img):
-        logits = victim_fn(img[None])
-        return cross_entropy(logits, jnp.asarray(label, jnp.int32)[None])
+    ``ascent=True`` is the corrected UNTARGETED direction: ``label`` is
+    ignored; each step maximizes CE against the victim's own argmax,
+    recomputed every step (the reference's self-label untargeted loss,
+    ref: ddim2/adv_test.py:29-30 — exactly BIM restricted to the mask).
+    """
+    if ascent:
+        ce_batch = _self_label_ce(victim_fn)
+
+        def ce_at(img):
+            return ce_batch(img[None])
+
+    else:
+
+        def ce_at(img):
+            logits = victim_fn(img[None])
+            return cross_entropy(logits, jnp.asarray(label, jnp.int32)[None])
 
     grad_fn = jax.grad(ce_at)
+    step = alpha if ascent else -alpha
 
     def body(_, perturbation):
         g = grad_fn(image + perturbation)
         masked = g * feature_mask[..., None]
-        p = perturbation - alpha * jnp.sign(masked)
+        p = perturbation + step * jnp.sign(masked)
         return jnp.clip(p, -epsilon, epsilon)
 
     perturbation = jax.lax.fori_loop(0, iterations, body, jnp.zeros_like(image))

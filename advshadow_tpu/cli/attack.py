@@ -64,6 +64,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--targeted", type=str2bool, default=False,
                    help="shadow: random wrong target label per image")
+    p.add_argument("--untargeted", type=str, default="compat",
+                   choices=["compat", "ascent"],
+                   help="untargeted shadow semantics (only with "
+                        "--targeted 0): 'compat' replicates the "
+                        "reference's broken variant (true label into a "
+                        "CE-descending inner attack, ref ddim2/"
+                        "test_main.py:160-168 — a measured no-op); "
+                        "'ascent' runs the inner attack as self-label CE "
+                        "ascent (ref ddim2/adv_test.py:29-30)")
     p.add_argument("--preset", type=str, default="eval",
                    choices=sorted(PRESETS))
     p.add_argument("--soft_mask", type=str2bool, default=True)
@@ -117,7 +126,10 @@ def run_attack(args) -> dict:
 
     cfg = PRESETS[args.preset]
     if args.method == "shadow":
-        cfg = dataclasses.replace(cfg, hard=not args.soft_mask)
+        cfg = dataclasses.replace(
+            cfg, hard=not args.soft_mask,
+            untargeted_ascent=(not args.targeted
+                               and args.untargeted == "ascent"))
 
     count, t0 = 0, time.time()
     if args.method == "shadow":

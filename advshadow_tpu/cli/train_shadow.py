@@ -53,6 +53,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--victim_ckpt", type=str, default=None,
                    help="npz of ported victim variables")
     p.add_argument("--targeted", type=str2bool, default=True)
+    p.add_argument("--untargeted", type=str, default="compat",
+                   choices=["compat", "ascent"],
+                   help="untargeted semantics with --targeted 0: 'compat' "
+                        "= the reference's true-label CE-descending inner "
+                        "attack (ref ddim2/test_main.py:160-168, a "
+                        "measured no-op); 'ascent' = self-label CE ascent "
+                        "(ref ddim2/adv_test.py:29-30)")
     p.add_argument("--shadow_intensity", type=float, default=0.43)
     p.add_argument("--shadow_iterations", type=int, default=1)
     p.add_argument("--attack_epsilon", type=float, default=0.05)
@@ -113,6 +120,8 @@ def train_shadow(args) -> dict:
         inner_alpha=args.attack_alpha,
         inner_iterations=args.attack_iterations,
         hard=not args.soft_mask,
+        untargeted_ascent=(not args.targeted
+                           and args.untargeted == "ascent"),
     )
 
     net_kwargs = {}

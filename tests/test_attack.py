@@ -146,6 +146,39 @@ class TestPerturbations:
             epsilon=0.05, iterations=5)
         assert float(jnp.max(jnp.abs(pert))) <= 0.05 + 1e-6
 
+    def test_iga_ascent_raises_true_label_ce(self):
+        """Corrected untargeted direction: self-label CE ascent must RAISE
+        CE of the current prediction, where the reference-compat descent
+        with the same label lowers it (the measured no-op,
+        ref ddim2/test_main.py:160-168)."""
+        from advshadow_tpu.attack import cross_entropy
+
+        pred = jnp.argmax(self.victim(self.image[None]), axis=-1)[0]
+        ce0 = cross_entropy(self.victim(self.image[None]), pred[None])
+        up, _ = iterative_gradient_attack(
+            self.victim, self.image, pred, self.mask,
+            epsilon=0.3, alpha=0.05, iterations=10, ascent=True)
+        down, _ = iterative_gradient_attack(
+            self.victim, self.image, pred, self.mask,
+            epsilon=0.3, alpha=0.05, iterations=10)
+        ce_up = cross_entropy(self.victim(up[None]), pred[None])
+        ce_down = cross_entropy(self.victim(down[None]), pred[None])
+        assert float(ce_up) > float(ce0) > float(ce_down)
+
+    def test_ig_ascent_flips_step_direction(self):
+        """IG ascent ignores the passed label (self-label) and steps along
+        +sign: for the same self-label it is the exact mirror of the
+        descending perturbation."""
+        pred = jnp.argmax(self.victim(self.image[None]), axis=-1)[0]
+        _, p_up = integrated_gradients_attack(
+            self.victim, self.image, jnp.int32(0), self.mask, self.rng,
+            epsilon=0.3, alpha=0.05, iterations=5, steps=4, ascent=True)
+        _, p_down = integrated_gradients_attack(
+            self.victim, self.image, pred, self.mask, self.rng,
+            epsilon=0.3, alpha=0.05, iterations=5, steps=4)
+        np.testing.assert_allclose(np.asarray(p_up), -np.asarray(p_down),
+                                   atol=1e-7)
+
     def test_fgsm(self):
         g = jnp.ones_like(self.image)
         out = fgsm_perturbation(self.image, 0.1, g)
@@ -171,6 +204,29 @@ class TestShadowOptimization:
         self.mask = jnp.zeros((H, W)).at[8:24, 8:24].set(1.0)
         self.fast = ShadowOptConfig(
             iterations=2, inner_iterations=2, inner_steps=2, radius_init=6.0)
+
+    def test_untargeted_ascent_beats_compat(self):
+        """End-to-end: with the TRUE label passed (the untargeted
+        protocol), untargeted_ascent must leave the victim strictly more
+        wrong on the true label than the reference-compat mode, whose
+        inner attack repairs the classification."""
+        import dataclasses
+
+        from advshadow_tpu.attack import cross_entropy
+
+        true = jnp.argmax(self.victim(self.image[None]), axis=-1)[0]
+        compat = optimize_shadow_position(
+            self.victim, self.image, self.mask, true, self.rng,
+            dataclasses.replace(self.fast, inner="iga", inner_epsilon=0.2,
+                                inner_alpha=0.02, inner_iterations=10))
+        ascent = optimize_shadow_position(
+            self.victim, self.image, self.mask, true, self.rng,
+            dataclasses.replace(self.fast, inner="iga", inner_epsilon=0.2,
+                                inner_alpha=0.02, inner_iterations=10,
+                                untargeted_ascent=True))
+        ce_compat = cross_entropy(self.victim(compat.image[None]), true[None])
+        ce_ascent = cross_entropy(self.victim(ascent.image[None]), true[None])
+        assert float(ce_ascent) > float(ce_compat)
 
     def test_soft_mode_updates_radius(self):
         res = optimize_shadow_position(
