@@ -32,7 +32,7 @@ from typing import Callable, Iterator, Optional
 import jax
 
 __all__ = ["trace", "StepTimer", "enable_nan_debugging", "log_compile_time",
-           "device_seconds"]
+           "device_seconds", "hlo_op_stats"]
 
 
 @contextlib.contextmanager
@@ -85,11 +85,13 @@ class StepTimer:
                 "items_per_sec": round(self.items_per_sec, 3)}
 
 
-def device_seconds(fn: Callable, *args, logdir: str | None = None):
-    """Trace ONE call of an already-compiled ``fn(*args)`` and return its
-    total on-device self time in seconds (summed over HLO ops from the
-    xplane's hlo_stats view), or ``None`` when the xprof toolchain or the
-    profile is unavailable.
+def hlo_op_stats(fn: Callable, *args, logdir: str | None = None):
+    """Trace ONE call of an already-compiled ``fn(*args)`` and return
+    ``(total_device_seconds, rows)`` from the xplane's hlo_stats view —
+    rows are per-HLO-op dicts (op, category, self_us, occurrences,
+    bound_by, gflops_per_sec) sorted by self time descending.  Returns
+    ``(None, [])`` when the xprof toolchain or the profile is
+    unavailable (e.g. the forced-CPU backend writes no device rows).
 
     The caller must have run ``fn`` once already (compile outside the
     trace); args should be fresh (the runtime short-circuits repeated
@@ -107,18 +109,36 @@ def device_seconds(fn: Callable, *args, logdir: str | None = None):
             glob.glob(os.path.join(logdir, "**", "*.xplane.pb"),
                       recursive=True), key=os.path.getmtime)
         if not xplanes:
-            return None
+            return None, []
         data, _ = raw_to_tool_data.xspace_to_tool_data(
             [xplanes[-1]], "hlo_stats", {})
         if isinstance(data, bytes):
             data = data.decode()
         d = json.loads(data)
         ci = {c["label"]: i for i, c in enumerate(d["cols"])}
-        k = ci["Total self time (us)"]
-        total_us = sum(float(r["c"][k].get("v") or 0) for r in d["rows"])
-        return total_us / 1e6 if total_us > 0 else None
+
+        def val(r, c):
+            return r["c"][ci[c]].get("v")
+
+        rows = [{
+            "op": val(r, "HLO op name"),
+            "category": val(r, "HLO op category"),
+            "self_us": float(val(r, "Total self time (us)") or 0),
+            "occurrences": val(r, "#Occurrences"),
+            "bound_by": val(r, "Bound by"),
+            "gflops_per_sec": float(val(r, "Model GFLOP/s") or 0),
+        } for r in d["rows"]]
+        rows.sort(key=lambda r: -r["self_us"])
+        total_us = sum(r["self_us"] for r in rows)
+        return (total_us / 1e6 if total_us > 0 else None), rows
     except Exception:  # noqa: BLE001 — diagnostics only, never fail a bench
-        return None
+        return None, []
+
+
+def device_seconds(fn: Callable, *args, logdir: str | None = None):
+    """Total on-device self time (seconds) of one traced call of the
+    already-compiled ``fn(*args)`` — see :func:`hlo_op_stats`."""
+    return hlo_op_stats(fn, *args, logdir=logdir)[0]
 
 
 def log_compile_time(fn: Callable, logger=None) -> Callable:

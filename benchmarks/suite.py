@@ -373,12 +373,124 @@ def config_sweep(small):
     return out
 
 
+def config_flagship_128(small):
+    """Config 6: the paper's operating point — the at-size (128 px)
+    flagship architecture (conditional UNet, channels 32..1024, GELU —
+    the exact arch behind artifacts/at_size_128) running DDIM-50 CFG
+    generation + the EVAL shadow attack, with MFU, phase split, and an
+    xplane profile of the sampler hot loop (sa6's 16384-token streaming
+    flash attention runs here in situ).
+
+    Ref workload: ddim2/main2.py:118-135 (128 px protocol) with DDIM-50
+    per diff_model.py:423-425.
+    """
+    from advshadow_tpu.attack import EVAL_CONFIG, ShadowOptConfig, \
+        batched_optimize_shadow
+    from advshadow_tpu.core import make_diffusion
+    from advshadow_tpu.models import make_network
+    from advshadow_tpu.samplers import ddim_sample_framework, make_denoise_fn
+    from advshadow_tpu.utils.profiling import device_seconds, hlo_op_stats
+
+    size = 32 if small else 128
+    batch = 4 if small else int(os.environ.get("BENCH128_BATCH", "32"))
+    steps = 5 if small else 50
+    num_classes = 10
+    channels = (8, 8, 16, 16, 32, 32) if small else (
+        32, 64, 128, 256, 512, 1024)
+    cfg = (ShadowOptConfig(iterations=2, inner_iterations=2, inner_steps=4)
+           if small else EVAL_CONFIG)
+
+    model = make_network("unet", num_classes=num_classes, act="gelu",
+                         channel=channels,
+                         dtype=None if small else jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    y = jnp.arange(batch, dtype=jnp.int32) % num_classes
+    params = jax.jit(model.init)(
+        rng, jnp.zeros((batch, size, size, 3)), jnp.zeros((batch,)), y)
+    coeffs = make_diffusion(1000, "framework_linear")
+    denoise = make_denoise_fn(model.apply, params, y, 3.0)
+    victim_fn = _victim("resnet18", size, num_classes=num_classes,
+                        bf16=not small)
+    masks = jnp.ones((batch, size, size))
+
+    gen_fn = jax.jit(lambda key: ddim_sample_framework(
+        coeffs, denoise, key, (batch, size, size, 3), sample_steps=steps))
+
+    @jax.jit
+    def atk_fn(imgs, key):
+        imgs01 = (jnp.clip(imgs, -1, 1) + 1) / 2
+        return batched_optimize_shadow(victim_fn, imgs01, masks,
+                                       (y + 1) % num_classes, key, cfg).image
+
+    log("compiling 128px pipeline...")
+    tc = time.time()
+    warm = jax.block_until_ready(gen_fn(jax.random.PRNGKey(1)))
+    atk_fn(warm, jax.random.PRNGKey(1)).block_until_ready()
+    log(f"compile+first: {time.time() - tc:.1f}s")
+    np.asarray(atk_fn(gen_fn(jax.random.PRNGKey(2)), jax.random.PRNGKey(2)))
+
+    flops = (_compiled_flops(gen_fn, rng, trips=steps)
+             + _compiled_flops(atk_fn, warm, rng, trips=cfg.iterations))
+
+    reps = 1 if small else 3
+    rep_dts, rep_phases = [], []
+    for rep in range(reps):
+        key = jax.random.fold_in(rng, 10 + rep)
+        t0 = time.time()
+        imgs = jax.block_until_ready(gen_fn(key))
+        t_gen = time.time() - t0
+        jax.block_until_ready(atk_fn(imgs, key))
+        dt = time.time() - t0
+        rep_dts.append(dt)
+        rep_phases.append({"generate": round(t_gen, 2),
+                           "attack": round(dt - t_gen, 2)})
+        log(f"rep {rep}: gen {t_gen:.2f}s atk {dt - t_gen:.2f}s "
+            f"({batch / dt:.2f} imgs/s)")
+    import statistics
+
+    dt = statistics.median(rep_dts)
+    n_chips = jax.device_count()
+    out = _result("flagship-128 DDIM-50 shadowed imgs/sec/chip",
+                  batch / dt / n_chips, "imgs/sec/chip",
+                  flops=flops, seconds=dt)
+    out["image_size"] = size
+    out["batch"] = batch
+    out["phase_seconds"] = rep_phases[rep_dts.index(dt)]
+    out["spread_imgs_per_sec_chip"] = [
+        round(batch / max(rep_dts) / n_chips, 3),
+        round(batch / min(rep_dts) / n_chips, 3)]
+
+    # device-time (relay-jitter-free) split + the sampler's top HLO ops —
+    # the in-situ profile of the 16384-token streaming flash attention
+    gen_dev, gen_rows = hlo_op_stats(gen_fn, jax.random.fold_in(rng, 98))
+    atk_dev = device_seconds(atk_fn, imgs, jax.random.fold_in(rng, 97))
+    if gen_dev and atk_dev:
+        dev_total = gen_dev + atk_dev
+        out["device_seconds"] = {"generate": round(gen_dev, 3),
+                                 "attack": round(atk_dev, 3)}
+        out["device_time_imgs_per_sec_chip"] = round(
+            batch / dev_total / n_chips, 3)
+        if flops:
+            out["device_mfu_vs_v5e_bf16_peak"] = round(
+                flops / dev_total / n_chips / V5E_PEAK_FLOPS, 4)
+    if gen_rows:
+        for r in gen_rows[:10]:
+            log(f"sampler op {r['op']}: {r['self_us']:.0f}us "
+                f"x{r['occurrences']} cat={r['category']} "
+                f"bound={r['bound_by']} GF/s={r['gflops_per_sec']:.0f}")
+        out["sampler_top_ops"] = [
+            {k: r[k] for k in ("op", "category", "self_us", "bound_by")}
+            for r in gen_rows[:5]]
+    return out
+
+
 CONFIGS = {
     "single-224": config_single_224,
     "batch64-ddim50": config_batch64,
     "vit-victim": config_vit_victim,
     "mask-pipeline": config_mask_pipeline,
     "sweep": config_sweep,
+    "flagship-128": config_flagship_128,
 }
 
 
