@@ -101,9 +101,23 @@ _TRAINED_VICTIM = os.path.join(
 
 
 def config_single_224(small):
-    """Config 1: single 224x224 image shadow synthesis + ResNet attack."""
+    """Config 1: single 224x224 image — the FULL per-image protocol
+    (shadow attack + victim prediction + PSNR/SSIM vs clean,
+    ref: ddim2/test.py:479-871) fused into ONE dispatched executable.
+
+    Round-3 measured this config at 95.8 ms/img, 8.9% MFU — host-bound:
+    every dispatch through the axon relay pays ~85 ms RTT and reading the
+    224x224 image back pays ~50 ms more.  The reference protocol needs
+    the metrics, not the pixels, per image — so the fused program returns
+    only (pred_label, ssim, psnr) scalars (bytes, not 600 KB), and the
+    whole protocol is ONE call instead of three.  The irreducible
+    per-call relay floor is measured alongside (tiny jitted add, median
+    of 5) and published as relay_rtt_ms so the number is self-explaining.
+    """
     from advshadow_tpu.attack import EVAL_CONFIG, ShadowOptConfig, \
         optimize_shadow_position
+    from advshadow_tpu.eval import batch_psnr_ssim
+    from advshadow_tpu.victims.zoo import safe_argmax
 
     size = 64 if small else 224
     cfg = (ShadowOptConfig(iterations=2, inner_iterations=2, inner_steps=4)
@@ -113,25 +127,47 @@ def config_single_224(small):
     image = jax.random.uniform(rng, (size, size, 3))
     mask = jnp.ones((size, size))
 
-    fn = jax.jit(lambda im, k: optimize_shadow_position(
-        victim_fn, im, mask, jnp.int32(3), k, cfg).image)
-    fn(image, rng).block_until_ready()  # compile
-    np.asarray(fn(image * 1.001, jax.random.fold_in(rng, 99)))  # warm path
+    @jax.jit
+    def fn(im, k):
+        adv = optimize_shadow_position(
+            victim_fn, im, mask, jnp.int32(3), k, cfg).image
+        pred = safe_argmax(victim_fn(adv[None]))[0]
+        s, p = batch_psnr_ssim(im[None], adv[None])
+        return pred, s, p
+
+    jax.block_until_ready(fn(image, rng))  # compile
+    jax.tree_util.tree_map(np.asarray,
+                           fn(image * 1.001, jax.random.fold_in(rng, 99)))
     flops = _compiled_flops(fn, image, rng, trips=cfg.iterations)
-    # per-rep host-sync timing (np.asarray includes the device->host
-    # readback a real per-image caller pays); median of 5 — the relay
-    # adds ~85 ms dispatch + ~50 ms readback of fixed per-call latency,
-    # so this config measures latency, not chip throughput
+
+    # the relay's fixed per-dispatch cost: a scalar add, host-synced
+    tiny = jax.jit(lambda v: v + 1.0)
+    np.asarray(tiny(jnp.float32(0.0)))
+    rtts = []
+    for i in range(5):
+        t0 = time.time()
+        np.asarray(tiny(jnp.float32(i)))
+        rtts.append(time.time() - t0)
+    rtt = float(np.median(rtts))
+    log(f"relay per-dispatch RTT: {rtt * 1000:.1f} ms "
+        f"(spread {min(rtts) * 1000:.0f}-{max(rtts) * 1000:.0f})")
+
+    # per-rep host-sync timing (tree_map(np.asarray) includes the scalar
+    # readback the real per-image caller pays); median of 5
     times = []
     for i in range(5):
         t0 = time.time()
-        np.asarray(fn(image * (1 + 1e-6 * i), jax.random.fold_in(rng, i)))
+        jax.tree_util.tree_map(
+            np.asarray, fn(image * (1 + 1e-6 * i), jax.random.fold_in(rng, i)))
         times.append(time.time() - t0)
     dt = float(np.median(times))
-    out = _result("single-224 shadow attack latency", dt * 1000, "ms/img",
-                  flops=flops, seconds=dt)
+    out = _result("single-224 attack+eval+metrics latency", dt * 1000,
+                  "ms/img", flops=flops, seconds=dt)
     out["spread_ms"] = [round(min(times) * 1000, 1),
-                       round(max(times) * 1000, 1)]
+                        round(max(times) * 1000, 1)]
+    out["relay_rtt_ms"] = round(rtt * 1000, 1)
+    out["fused"] = "attack + victim pred + PSNR/SSIM in one dispatch, " \
+                   "scalar-only readback"
     return out
 
 
