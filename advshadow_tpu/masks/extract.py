@@ -159,22 +159,32 @@ def process_image(
     mask_threshold: float = 0.3,
     grabcut_iter: int = 10,
     resize_width: Optional[int] = 600,
+    phase_times: Optional[dict] = None,
 ) -> Optional[np.ndarray]:
     """Full per-image pipeline: resize to width 600 (ref
     mask_for_dataset.py:40), detect, combine, GrabCut. Returns the binary
     mask (uint8 0/255) at the resized resolution, or None when nothing
-    was detected."""
+    was detected.  ``phase_times`` (optional dict) accumulates per-phase
+    seconds under "detect" / "grabcut" keys (benchmark breakdown)."""
+    import time as _time
+
     if resize_width and _HAS_CV2:
         h = int(image_bgr.shape[0] * resize_width / image_bgr.shape[1])
         image_bgr = cv2.resize(image_bgr, (resize_width, h))
+    t0 = _time.perf_counter()
     boxes, masks = detect_fn(image_bgr)
+    t1 = _time.perf_counter()
     combined = combine_detection_masks(
         image_bgr.shape[:2], boxes, masks,
         confidence_threshold, mask_threshold,
     )
-    if not np.any(combined > 0):
-        return None
-    return grabcut_refine(image_bgr, combined, grabcut_iter)
+    out = (grabcut_refine(image_bgr, combined, grabcut_iter)
+           if np.any(combined > 0) else None)
+    if phase_times is not None:
+        t2 = _time.perf_counter()
+        phase_times["detect"] = phase_times.get("detect", 0.0) + (t1 - t0)
+        phase_times["grabcut"] = phase_times.get("grabcut", 0.0) + (t2 - t1)
+    return out
 
 
 def extract_and_save_masks(
@@ -182,30 +192,46 @@ def extract_and_save_masks(
     output_path: str,
     mask_rcnn_path: Optional[str] = None,
     use_gpu: bool = False,
+    detect_fn: Optional[Callable] = None,
+    phase_times: Optional[dict] = None,
     **kwargs,
 ) -> int:
     """Whole-dataset extraction (ref: mask_for_dataset.py:6-31); returns
-    the number of masks written.  Falls back to the weights-free detector
-    when no Mask-RCNN model dir is given."""
+    the number of masks written.  Detector priority: an explicit
+    ``detect_fn``, else the OpenCV Mask-RCNN when ``mask_rcnn_path`` is
+    given, else the weights-free fallback.  ``phase_times`` accumulates
+    "io" / "detect" / "grabcut" seconds for benchmark breakdowns."""
+    import time as _time
+
     if not _HAS_CV2:
         raise RuntimeError("OpenCV is required for offline mask extraction")
-    detect_fn = (
-        make_opencv_maskrcnn_detector(mask_rcnn_path, use_gpu)
-        if mask_rcnn_path else saliency_rect_detector()
-    )
+    if detect_fn is None:
+        detect_fn = (
+            make_opencv_maskrcnn_detector(mask_rcnn_path, use_gpu)
+            if mask_rcnn_path else saliency_rect_detector()
+        )
     os.makedirs(output_path, exist_ok=True)
     written = 0
     for name in sorted(os.listdir(dataset_path)):
         if not name.lower().endswith((".png", ".jpg", ".jpeg")):
             continue
+        t0 = _time.perf_counter()
         img = cv2.imread(os.path.join(dataset_path, name))
+        if phase_times is not None:
+            phase_times["io"] = phase_times.get("io", 0.0) + (
+                _time.perf_counter() - t0)
         if img is None:
             print(f"Warning: Unable to load image at {name}. Skipping.")
             continue
-        mask = process_image(img, detect_fn, **kwargs)
+        mask = process_image(img, detect_fn, phase_times=phase_times,
+                             **kwargs)
         if mask is None:
             continue
+        t0 = _time.perf_counter()
         cv2.imwrite(os.path.join(output_path, f"mask_{name}"), mask)
+        if phase_times is not None:
+            phase_times["io"] = phase_times.get("io", 0.0) + (
+                _time.perf_counter() - t0)
         written += 1
     return written
 
