@@ -91,11 +91,11 @@ def _load_eval(eval_root):
     return imgs01, masks, labels
 
 
-def _victim_fn():
+def _victim_fn(vckpt=None):
     from advshadow_tpu.victims import load_variables, make_victim_fn, \
         make_victim_model
 
-    vckpt = _victim_ckpt()
+    vckpt = vckpt or _victim_ckpt()
     model = make_victim_model("resnet18", num_classes=N_CLS)
     variables = load_variables(vckpt)
     return make_victim_fn(model, variables), vckpt, model, variables
@@ -152,11 +152,15 @@ def phase_attack(eval_root, metrics):
     # TRAINED_r02.json.
     import dataclasses as _dc
 
+    # modes: untargeted compat (the reference's broken variant, kept for
+    # parity), targeted (the paper's attack), untargeted ascent (the
+    # round-4 corrected mode — self-label CE ascent inner attack)
     for radius, suffix in ((15.0, ""), (30.0, "_r30")):
-        cfg = _dc.replace(EVAL_CONFIG, radius_init=radius)
-        for targeted in (False, True):
+        for mode in ("untargeted", "targeted", "ascent"):
+            cfg = _dc.replace(EVAL_CONFIG, radius_init=radius,
+                              untargeted_ascent=(mode == "ascent"))
             rng, t_rng = jax.random.split(rng)
-            if targeted:
+            if mode == "targeted":
                 offset = jax.random.randint(t_rng, labels.shape, 1, N_CLS)
                 targets = (labels + offset) % N_CLS
             else:
@@ -167,23 +171,27 @@ def phase_attack(eval_root, metrics):
             pred = safe_argmax(_chunked_logits(victim_fn, adv))
             acc = float(jnp.mean((pred == labels).astype(jnp.float32)))
             ssim_v, psnr_v = batch_psnr_ssim(adv, imgs01)
-            key = ("attacked_targeted" if targeted else "attacked") + suffix
+            key = {"untargeted": "attacked",
+                   "targeted": "attacked_targeted",
+                   "ascent": "attacked_ascent"}[mode] + suffix
             metrics[key] = {
                 "accuracy": round(acc, 4), "asr": round(1 - acc, 4), "n": n,
                 "target_hit_rate": (round(float(jnp.mean(
                     (pred == targets).astype(jnp.float32))), 4)
-                    if targeted else None),
+                    if mode == "targeted" else None),
                 "mean_ssim": round(float(jnp.mean(ssim_v)), 4),
                 "mean_psnr": round(float(jnp.mean(psnr_v)), 3),
                 "imgs_per_sec": round(n / dt, 2),
-                "config": {"preset": "eval", "targeted": targeted,
+                "config": {"preset": "eval", "mode": mode,
+                           "targeted": mode == "targeted",
+                           "untargeted_ascent": mode == "ascent",
                            "radius_init": radius,
                            "shadow_intensity": cfg.shadow_intensity,
                            "victim": os.path.relpath(vckpt, REPO)},
             }
-            log(f"[attack] r={radius:g} targeted={targeted}: "
+            log(f"[attack] r={radius:g} mode={mode}: "
                 f"asr={1 - acc:.4f} ({n / dt:.1f} imgs/s)")
-            if not targeted and radius == 15.0:
+            if mode == "untargeted" and radius == 15.0:
                 attacked_imgs = adv
 
     def feature_fn(x):
@@ -373,25 +381,27 @@ def phase_sweep(eval_root, metrics):
     n = int(imgs01.shape[0])
     rng = jax.random.PRNGKey(7)
     rows = []
-    for targeted in (False, True):
+    for mode in ("untargeted", "targeted", "ascent"):
         rng, t_rng = jax.random.split(rng)
         targets = ((labels + jax.random.randint(t_rng, labels.shape, 1,
                                                 N_CLS)) % N_CLS
-                   if targeted else labels)
+                   if mode == "targeted" else labels)
         for intensity in INTENSITIES:
-            cfg = dataclasses.replace(EVAL_CONFIG,
-                                      shadow_intensity=intensity)
+            cfg = dataclasses.replace(
+                EVAL_CONFIG, shadow_intensity=intensity,
+                untargeted_ascent=(mode == "ascent"))
             t0 = time.time()
             adv, rng = _attack(victim_fn, imgs01, masks, targets, rng, cfg)
             dt = time.time() - t0
             pred = safe_argmax(_chunked_logits(victim_fn, adv))
             acc = float(jnp.mean((pred == labels).astype(jnp.float32)))
             ssim_v, psnr_v = batch_psnr_ssim(adv, imgs01)
-            row = {"targeted": targeted, "intensity": intensity,
+            row = {"mode": mode, "targeted": mode == "targeted",
+                   "intensity": intensity,
                    "asr": round(1 - acc, 4), "accuracy": round(acc, 4),
                    "target_hit_rate": (round(float(jnp.mean(
                        (pred == targets).astype(jnp.float32))), 4)
-                       if targeted else None),
+                       if mode == "targeted" else None),
                    "psnr": round(float(jnp.mean(psnr_v)), 3),
                    "ssim": round(float(jnp.mean(ssim_v)), 4),
                    "seconds": round(dt, 2)}
@@ -407,6 +417,114 @@ def phase_sweep(eval_root, metrics):
     return metrics
 
 
+def _attack_row(victim_fn, imgs01, masks, labels, targets, rng, cfg):
+    """One attack pass -> (metrics row, rng). Shared by iters/strong."""
+    import jax.numpy as jnp
+
+    from advshadow_tpu.eval import batch_psnr_ssim
+    from advshadow_tpu.victims.zoo import safe_argmax
+
+    t0 = time.time()
+    adv, rng = _attack(victim_fn, imgs01, masks, targets, rng, cfg)
+    dt = time.time() - t0
+    pred = safe_argmax(_chunked_logits(victim_fn, adv))
+    acc = float(jnp.mean((pred == labels).astype(jnp.float32)))
+    ssim_v, psnr_v = batch_psnr_ssim(adv, imgs01)
+    return {"asr": round(1 - acc, 4), "accuracy": round(acc, 4),
+            "target_hit_rate": round(float(jnp.mean(
+                (pred == targets).astype(jnp.float32))), 4),
+            "ssim": round(float(jnp.mean(ssim_v)), 4),
+            "psnr": round(float(jnp.mean(psnr_v)), 3),
+            "seconds": round(dt, 2)}, rng
+
+
+def phase_iters(eval_root, metrics):
+    """Outer-iteration sweep (round-3 verdict stretch #8): the targeted
+    hit-rate at the reference protocol (11 iters, lr 0.1 —
+    ref ddim2/test.py:479) was 0.0625 at 128 px; sweeping the outer
+    budget at the area-equivalent radius shows whether that is the
+    attack's ceiling or the protocol's."""
+    import dataclasses as _dc
+
+    import jax
+
+    from advshadow_tpu.attack import EVAL_CONFIG
+
+    imgs01, masks, labels = _load_eval(eval_root)
+    victim_fn, vckpt, _, _ = _victim_fn()
+    rng = jax.random.PRNGKey(11)
+    rng, t_rng = jax.random.split(rng)
+    offset = jax.random.randint(t_rng, labels.shape, 1, N_CLS)
+    targets = (labels + offset) % N_CLS
+    rows = []
+    for iters in (11, 22, 44):
+        for mode in ("targeted", "ascent"):
+            cfg = _dc.replace(EVAL_CONFIG, iterations=iters,
+                              radius_init=30.0,
+                              untargeted_ascent=(mode == "ascent"))
+            row, rng = _attack_row(
+                victim_fn, imgs01, masks, labels,
+                targets if mode == "targeted" else labels, rng, cfg)
+            row.update({"iterations": iters, "mode": mode,
+                        "radius_init": 30.0})
+            if mode != "targeted":
+                row["target_hit_rate"] = None
+            rows.append(row)
+            log(f"[iters] {row}")
+    metrics["iteration_sweep"] = {
+        "rows": rows, "victim": os.path.relpath(vckpt, REPO),
+        "note": "radius 30 = area-equivalent scaling of the reference's "
+                "15 at 64 px; 11 iters is the reference protocol "
+                "(ddim2/test.py:479)"}
+    return metrics
+
+
+def phase_strong(eval_root, metrics):
+    """Stronger-victim row (round-3 verdict stretch #8): the r03 eval
+    victim sits at 0.892 clean accuracy, blunting ASR contrast.  When a
+    victim128_strong2 npz exists (trained on a larger procedural split,
+    examples/train_victim128_strong2.py), re-run the headline rows
+    against it."""
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from advshadow_tpu.attack import EVAL_CONFIG
+    from advshadow_tpu.victims.zoo import safe_argmax
+
+    vckpt = os.path.join(ART, "victim_run", "victim128_strong2",
+                         "victim_resnet18.npz")
+    if not os.path.exists(vckpt):
+        log("[strong] no victim128_strong2 npz — skipping")
+        return metrics
+    imgs01, masks, labels = _load_eval(eval_root)
+    victim_fn, vckpt, _, _ = _victim_fn(vckpt)
+    n = int(imgs01.shape[0])
+    clean_pred = safe_argmax(_chunked_logits(victim_fn, imgs01))
+    clean_acc = float(jnp.mean((clean_pred == labels).astype(jnp.float32)))
+    rng = jax.random.PRNGKey(13)
+    rng, t_rng = jax.random.split(rng)
+    targets = (labels + jax.random.randint(t_rng, labels.shape, 1,
+                                           N_CLS)) % N_CLS
+    rows = {}
+    for mode in ("targeted", "ascent"):
+        cfg = _dc.replace(EVAL_CONFIG, radius_init=30.0,
+                          untargeted_ascent=(mode == "ascent"))
+        row, rng = _attack_row(
+            victim_fn, imgs01, masks, labels,
+            targets if mode == "targeted" else labels, rng, cfg)
+        if mode != "targeted":
+            row["target_hit_rate"] = None
+        rows[mode] = row
+        log(f"[strong] {mode}: {row}")
+    metrics["strong_victim"] = {
+        "victim": os.path.relpath(vckpt, REPO),
+        "clean_accuracy": round(clean_acc, 4), "n": n,
+        "radius_init": 30.0, "rows": rows}
+    return metrics
+
+
 def _plot_sweep(out):
     """Same figure style as benchmarks/asr_intensity.py's 64 px plot."""
     import matplotlib
@@ -415,10 +533,17 @@ def _plot_sweep(out):
     import matplotlib.pyplot as plt
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 3.4), dpi=140)
-    for targeted, marker in ((False, "o"), (True, "s")):
-        rows = [r for r in out["rows"] if r["targeted"] == targeted]
+    modes = ((("untargeted", "o", "untargeted (compat)"),
+              ("targeted", "s", "targeted"),
+              ("ascent", "^", "untargeted (ascent)"))
+             if any("mode" in r for r in out["rows"])
+             else ((False, "o", "untargeted"), (True, "s", "targeted")))
+    for mode, marker, label in modes:
+        rows = [r for r in out["rows"]
+                if r.get("mode", r["targeted"]) == mode]
+        if not rows:
+            continue
         xs = [r["intensity"] for r in rows]
-        label = "targeted" if targeted else "untargeted"
         ax1.plot(xs, [r["asr"] for r in rows], marker=marker, label=label,
                  lw=1.6)
         ax2.plot([r["ssim"] for r in rows], [r["asr"] for r in rows],
@@ -505,8 +630,9 @@ def main(argv=None):
 
     runtime_init()
     phases = list(argv if argv is not None else sys.argv[1:]) or [
-        "attack", "generate", "sweep", "loss"]
-    out_path = os.path.join(REPO, "TRAINED128_r03.json")
+        "attack", "generate", "sweep", "iters", "strong", "loss"]
+    out_path = os.environ.get(
+        "ADVSHADOW_128_OUT", os.path.join(REPO, "TRAINED128_r04.json"))
     metrics = {"checkpoint": os.path.relpath(CKPT, REPO),
                "image_size": SIZE,
                # the orbax tree is .gitignored; the COMMITTED evidence is
@@ -530,6 +656,10 @@ def main(argv=None):
         phase_gen_grid(metrics)
     if "sweep" in phases:
         phase_sweep(eval_root, metrics)
+    if "iters" in phases:
+        phase_iters(eval_root, metrics)
+    if "strong" in phases:
+        phase_strong(eval_root, metrics)
     if "loss" in phases:
         phase_loss_curve(metrics)
     with open(out_path, "w") as f:
