@@ -76,7 +76,11 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     rows = []
-    for targeted in (False, True):
+    # modes: compat untargeted (reference semantics), targeted, and the
+    # round-4 corrected untargeted ascent (self-label CE ascent inner
+    # attack — see attack/optimize.py ShadowOptConfig.untargeted_ascent)
+    for mode in ("untargeted", "targeted", "ascent"):
+        targeted = mode == "targeted"
         rng, t_rng = jax.random.split(rng)
         if targeted:
             offset = jax.random.randint(t_rng, labels.shape, 1, 10)
@@ -84,7 +88,8 @@ def main():
         else:
             targets = labels
         for intensity in INTENSITIES:
-            cfg = dataclasses.replace(EVAL_CONFIG, shadow_intensity=intensity)
+            cfg = dataclasses.replace(EVAL_CONFIG, shadow_intensity=intensity,
+                                      untargeted_ascent=(mode == "ascent"))
             t0 = time.time()
             chunks = []
             for s in range(0, n, 128):
@@ -100,6 +105,7 @@ def main():
             hit = float(jnp.mean((pred == targets).astype(jnp.float32)))
             ssim_v, psnr_v = batch_psnr_ssim(adv, imgs01)
             row = {
+                "mode": mode,
                 "targeted": targeted,
                 "intensity": intensity,
                 "asr": round(1.0 - acc, 4),
@@ -133,10 +139,17 @@ def _plot(out):
     import matplotlib.pyplot as plt
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(9, 3.4), dpi=140)
-    for targeted, marker in ((False, "o"), (True, "s")):
-        rows = [r for r in out["rows"] if r["targeted"] == targeted]
+    modes = ((("untargeted", "o", "untargeted (compat)"),
+              ("targeted", "s", "targeted"),
+              ("ascent", "^", "untargeted (ascent)"))
+             if any("mode" in r for r in out["rows"])
+             else ((False, "o", "untargeted"), (True, "s", "targeted")))
+    for mode, marker, label in modes:
+        rows = [r for r in out["rows"]
+                if r.get("mode", r["targeted"]) == mode]
+        if not rows:
+            continue
         xs = [r["intensity"] for r in rows]
-        label = "targeted" if targeted else "untargeted"
         ax1.plot(xs, [r["asr"] for r in rows], marker=marker, label=label)
         ax2.plot([r["ssim"] for r in rows], [r["asr"] for r in rows],
                  marker=marker, label=label)
