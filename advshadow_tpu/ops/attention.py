@@ -19,19 +19,27 @@ tile — a head-split [B*H, T, d] Q/K/V triple at batch 128 is 12 GB of
 padding for 1.5 GB of data, an instant OOM.  Folded [B, T, 64] pads only
 2x, and [B, T, >=128] not at all.
 
-Ceiling analysis (measured, v5e, sa6 shape B=8 T=16384 C=64 H=4): at
-d = 16 the matmuls contribute only 64 FLOPs per softmax element, so the
-kernel is bound by the VPU's transcendental/reduce work (exp + running
-max + running sum per score element: B*T^2*H elements), not the MXU.
-Evidence: switching the matmuls from f32 (half MXU rate) to bf16 (full
-rate) alone changed throughput by ~0% (12.5 vs 12.9 TF/s in situ);
-folding log2(e) into the scale so the softmax runs on exp2 (one fewer
-VPU multiply per element) plus eliding the padding mask when T divides
-the kv block bought a further ~8% (67.4 -> 62.6 ms at the shape above
-= ~137G score-elements/s, with ~5 VPU element-ops each ~= the VPU's
-~1T lane-ops/s).  The op runs at its architectural speed-of-light;
+Ceiling analysis (measured, v5e, sa6 shape B=16 T=16384 C=64 H=4): at
+d = 16 the matmuls contribute only 64 FLOPs per softmax element, but the
+bound is NOT useful FLOPs and (counter-intuitively) not the VPU either —
+it is the rate at which score elements move THROUGH the MXU: every one
+of the B*H*T^2 scores must exit the QK^T systolic pass and re-enter as
+PV contraction input, and with d = 16 only 16 of 128 lanes carry useful
+data on each side.  Cost-attribution probes (experiments/flashbench_v2)
+pin this down: deleting the exp2 + running-max + running-sum VPU work
+entirely moves the kernel only 77.4 -> 73.3 ms, i.e. ~95% of the VPU
+softmax work hides behind the MXU streams, while fp32-vs-bf16 PV and
+MXU-vs-VPU row sums change nothing (ingest-rate bound, not FLOP bound).
+What did pay, worth 1.34x total (102.9 -> 77 ms at the shape above):
+folding the whole scale (including log2(e), so the softmax runs on
+exp2) into the q BLOCK LOAD instead of per score element, keeping p in
+f32 straight into the PV matmul (drops a per-element convert and is
+MORE accurate than rounding p to bf16), 512/2048 q/kv blocks (halves
+per-program overheads), and eliding the padding mask when T divides the
+kv block.  The op now runs within ~6% of its matmul-structure floor;
 bigger wins at 128 px require changing the model (fewer full-res
-attention tokens), which parity with the reference forbids.
+attention tokens, or d >= 128 heads), which parity with the reference
+forbids.
 """
 
 from __future__ import annotations
@@ -53,9 +61,10 @@ except Exception:  # pragma: no cover
 
 __all__ = ["spatial_attention", "attention_reference"]
 
-_BLOCK_Q = 256
-_BLOCK_KV = 1024
+_BLOCK_Q = 512
+_BLOCK_KV = 2048
 _LANE = 128
+_LOG2E = 1.4426950408889634
 
 
 def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
@@ -107,28 +116,23 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    if q_ref.dtype == jnp.bfloat16:
-        # bf16 operands feed the MXU at full rate (f32 matmuls run at half
-        # peak on v5e — measured 12.9 TF/s, exactly the f32 ceiling for a
-        # d=16 contraction).  Accumulation stays f32 via
-        # preferred_element_type, and the two scalar double-sqrt scales
-        # fold into one post-matmul multiply ((q*a)·(k*a) == a²(q·k)), so
-        # QK^T is bit-equivalent to the cast-then-scale form; the only new
-        # rounding is p -> bf16 before PV.  log2(e) folds in as well so the
-        # softmax runs on exp2 directly (one fewer VPU multiply per score
-        # element — the kernel is transcendental-bound at this head dim,
-        # see the ceiling analysis in the module docstring).
-        q, k, v = q_ref[0], k_ref[0], v_ref[0]
-        s_scale = scale * scale * 1.4426950408889634
-    else:
-        q = q_ref[0].astype(jnp.float32) * scale  # [BQ, C]
-        k = k_ref[0].astype(jnp.float32) * scale  # [BKV, C]
-        v = v_ref[0].astype(jnp.float32)
-        s_scale = None
-    # scores live in the base-2 domain on the bf16 path (s_scale carries
-    # log2(e)), so the matching exponential is exp2; max/sum bookkeeping is
-    # domain-consistent either way because m and l are derived from s.
-    expf = jnp.exp2 if s_scale is not None else jnp.exp
+    # The whole scalar — both double-sqrt scales AND log2(e), so the
+    # softmax runs on exp2 — folds into the q block load: one multiply
+    # per [BQ, C] element instead of one per [BQ, BKV] score element
+    # ((q*c)·k == c*(q·k); on bf16 inputs this adds one bf16 rounding on
+    # q, ~2^-8 relative on s, far inside the path's bf16 noise).  k keeps
+    # its storage dtype for the MXU; v upcasts once per [BKV, C] block so
+    # p can flow into PV in f32 with NO per-element convert — more
+    # accurate than the old p -> bf16 rounding and measured identical in
+    # speed (the kernel is MXU-stream bound, see module docstring).
+    q = (q_ref[0].astype(jnp.float32) * (scale * scale * _LOG2E)
+         ).astype(q_ref.dtype)
+    k = k_ref[0]
+    v = v_ref[0].astype(jnp.float32)
+    # scores live in the base-2 domain (the folded scale carries log2(e)),
+    # so the matching exponential is exp2; max/sum bookkeeping is
+    # domain-consistent because m and l are derived from s.
+    expf = jnp.exp2
     bq, bkv = q.shape[0], k.shape[0]
     # zero-padded kv rows must not contribute probability mass (static:
     # when T divides the kv block there is no padding and no mask work)
@@ -143,8 +147,6 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # [BQ, BKV]
-        if s_scale is not None:
-            s = s * s_scale
         if masked:
             s = jnp.where(invalid, -jnp.inf, s)
         m_prev = m_ref[:, h]                       # [BQ]
@@ -153,7 +155,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref, *,
         p = expf(s - m_new[:, None])
         l_ref[:, h] = l_ref[:, h] * alpha + jnp.sum(p, axis=-1)
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v[:, sl], (((1,), (0,)), ((), ())),
+            p, v[:, sl], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                          # [BQ, d]
         acc_ref[:, sl] = acc_ref[:, sl] * alpha[:, None] + pv
