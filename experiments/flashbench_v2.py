@@ -17,8 +17,11 @@ Run ON THE REAL TPU: python experiments/flashbench_v2.py
 from __future__ import annotations
 
 import functools
-import math
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
