@@ -241,7 +241,12 @@ def _attention_flash(
 #: 512) the sampler runs 86.4 imgs/s with XLA attention vs 76.2 with the
 #: flash kernel — tiny score matrices don't amortize the kernel's
 #: blockwise-softmax machinery, and XLA batches them onto the MXU well.
-_PALLAS_MIN_TOKENS = 2048
+#: The floor moved 2048 -> 1024 with the round-4 kernel (fold-scale /
+#: f32-PV / 512-2048 blocks): at T=1024 C=128 H=4 B=512 bf16 the kernel
+#: measures 36.6 ms vs 77.2 ms for the XLA einsum (2.1x); at T=256 the
+#: standalone margin shrinks to 1.2x and in-situ XLA fusion with
+#: neighbors historically wins, so tiny maps stay on the einsum path.
+_PALLAS_MIN_TOKENS = 1024
 
 
 def _use_pallas_auto(T: int, d: int, num_heads: int = 1) -> bool:
