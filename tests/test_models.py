@@ -226,6 +226,20 @@ class TestPallasKernelInterpret:
                 np.testing.assert_allclose(
                     np.asarray(out, np.float32), np.asarray(ref), atol=atol)
 
+    def test_routing_floor_is_1024_tokens(self):
+        """The auto rule routes T >= 1024 to the flash kernel (measured
+        crossover after the round-4 kernel fix: 36.6 vs 77.2 ms for XLA
+        at T=1024 C=128 H=4 B=512 bf16) and keeps tiny maps — including
+        the 64 px bench model's 8x8/4x4 attention — on the XLA einsum."""
+        import advshadow_tpu.ops.attention as A
+
+        assert not A._use_pallas_auto(64, 16, 4)    # bench 8x8 map
+        assert not A._use_pallas_auto(256, 64, 4)
+        assert not A._use_pallas_auto(512, 32, 4)
+        assert A._use_pallas_auto(1024, 32, 4) == A._HAS_PALLAS
+        assert A._use_pallas_auto(4096, 16, 4) == A._HAS_PALLAS
+        assert A._use_pallas_auto(16384, 16, 4) == A._HAS_PALLAS
+
     def test_chunked_backward_matches_oneshot(self, monkeypatch):
         """Above _BWD_TEMP_BYTES the custom-VJP backward scans over query
         blocks (the flagship cond-UNet sa6 at T=4096 would otherwise
