@@ -595,6 +595,19 @@ class TestBenchmarkSuite:
         for r in rows.values():
             assert 0 <= r["asr"] <= 1 and 0 < r["ssim"] <= 1
 
+    def test_suite_smoke_flagship_fast(self, monkeypatch):
+        """The beyond-reference few-step flagship config (dpmpp-SDE-20 +
+        dynamic threshold, the TRAINED128_r04 generation_grid winner)
+        must keep running end-to-end in small mode."""
+        monkeypatch.setenv("BENCH_SMALL", "1")
+        import runpy
+
+        mod = runpy.run_path("benchmarks/suite.py")
+        out = mod["main"](["flagship-128-fast"])["flagship-128-fast"]
+        assert out["unit"] == "imgs/sec/chip" and out["value"] > 0
+        assert out["sampler"]["sample"] == "dpmpp_sde"
+        assert out["sampler"]["dynamic_threshold"] == 0.995
+
 
 class TestFIDInceptionPath:
     def test_fid_cli_with_inception_features(self, shadow_dataset, tmp_path):
