@@ -6,4 +6,6 @@
 - ``python -m advshadow_tpu.cli.evaluate``     ASR / PSNR-SSIM / FID
 - ``python -m advshadow_tpu.cli.mask_dataset`` offline mask extraction
 - ``python -m advshadow_tpu.cli.deploy``       TCP generation server
+- ``python -m advshadow_tpu.cli.distill``      progressive guided
+  distillation into few-step CFG-free students (beyond-reference)
 """

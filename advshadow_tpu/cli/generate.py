@@ -42,7 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample", type=str, default=None,
                    choices=choices.sample_choices + [None])
     p.add_argument("--use_ema", type=str2bool, default=False)
-    p.add_argument("--cfg_scale", type=int, default=3)
+    p.add_argument("--cfg_scale", type=int, default=None,
+                   help="classifier-free guidance scale (default 3; a "
+                        "distilled ckpt whose metadata says guidance_baked "
+                        "defaults to 0 — its conditional forward is "
+                        "already guided)")
     p.add_argument("--cfg_rescale", type=float, default=0.0,
                    help="guidance rescale phi in [0,1] (Lin et al. 2023); "
                         "0 disables")
@@ -85,6 +89,16 @@ def generate(args) -> np.ndarray:
     act = meta.get("act", "silu")
     num_classes = meta.get("num_classes", 1)
     sample = args.sample or meta.get("sample", "ddpm")
+    # distilled checkpoints (cli/distill.py) self-describe their sampling:
+    # N logsnr DDIM steps, guidance already baked into the conditional
+    # forward — honor those as defaults so no extra flags are needed
+    if args.sample_steps is None and meta.get("sample_steps"):
+        args.sample_steps = int(meta["sample_steps"])
+    if getattr(args, "sample_method", None) is None and \
+            meta.get("sample_method"):
+        args.sample_method = meta["sample_method"]
+    if args.cfg_scale is None:
+        args.cfg_scale = 0 if meta.get("guidance_baked") else 3
 
     params = tree["ema_model"] if (args.use_ema and tree.get("ema_model")
                                    is not None) else tree["model"]

@@ -68,7 +68,10 @@ def default_generate_fn(request: Dict) -> Dict:
     if conditional:
         num_classes = request.get("num_classes", meta.get("num_classes"))
         class_name = int(request["class_name"])
-        cfg_scale = request.get("cfg_scale", 3.0)
+        # distilled ckpts (cli/distill.py) carry guidance in the weights:
+        # the conditional forward is already guided, so CFG defaults off
+        cfg_default = 0.0 if meta.get("guidance_baked") else 3.0
+        cfg_scale = request.get("cfg_scale", cfg_default)
         model = make_network(network, num_classes=num_classes, act=act,
                              **net_kwargs)
         labels = jnp.full((num_images,), class_name, jnp.int32)
@@ -88,12 +91,13 @@ def default_generate_fn(request: Dict) -> Dict:
         cfg_interval=tuple(cfg_interval) if cfg_interval else None)
     sampler = make_sampler(sample)
     kwargs = {}
-    if request.get("sample_steps") and sample in ("ddim", "plms", "dpmpp",
-                                                  "dpmpp_sde"):
-        kwargs["sample_steps"] = int(request["sample_steps"])
-    if request.get("sample_method") and sample in ("ddim", "dpmpp",
-                                                   "dpmpp_sde"):
-        kwargs["method"] = str(request["sample_method"])
+    sample_steps = request.get("sample_steps") or meta.get("sample_steps")
+    if sample_steps and sample in ("ddim", "plms", "dpmpp", "dpmpp_sde"):
+        kwargs["sample_steps"] = int(sample_steps)
+    sample_method = (request.get("sample_method")
+                     or meta.get("sample_method"))
+    if sample_method and sample in ("ddim", "dpmpp", "dpmpp_sde"):
+        kwargs["method"] = str(sample_method)
     if request.get("dynamic_threshold") and sample in ("dpmpp", "dpmpp_sde"):
         dt = float(request["dynamic_threshold"])
         if not 0.0 < dt <= 1.0:

@@ -8,6 +8,13 @@ from advshadow_tpu.train.checkpoint import (
     separate_ckpt_weights,
     wait_for_async_saves,
 )
+from advshadow_tpu.train.distill import (
+    DistillConfig,
+    create_distill_state,
+    distill_grid,
+    implied_x0_target,
+    make_distill_step,
+)
 from advshadow_tpu.train.lr import LR_FUNCS, cosine_lr, make_lr_schedule
 from advshadow_tpu.train.trainer import (
     OPTIMIZERS,
@@ -26,6 +33,11 @@ __all__ = [
     "save_ckpt",
     "separate_ckpt_weights",
     "wait_for_async_saves",
+    "DistillConfig",
+    "create_distill_state",
+    "distill_grid",
+    "implied_x0_target",
+    "make_distill_step",
     "LR_FUNCS",
     "cosine_lr",
     "make_lr_schedule",

@@ -226,10 +226,14 @@ def phase_attack(eval_root, metrics):
 
 
 def _gen_and_eval(tag, sampler, steps, method, cfg_scale,
-                  per_cls=PER_CLS, save_grid=False, extra_argv=()):
+                  per_cls=PER_CLS, save_grid=False, extra_argv=(),
+                  ckpt=None):
     """Generate per_cls x N_CLS images with one sampler config and score
     them (FID generated-vs-train + victim accuracy).  Returns a
-    self-describing metrics block (round-2 verdict Weak #5)."""
+    self-describing metrics block (round-2 verdict Weak #5).
+    ``ckpt`` overrides the flagship checkpoint (the distillation driver
+    scores its few-step students through the same battery)."""
+    ckpt = ckpt or CKPT
     from advshadow_tpu.cli.evaluate import main as evaluate_main
     from advshadow_tpu.cli.generate import main as generate_main
 
@@ -250,7 +254,7 @@ def _gen_and_eval(tag, sampler, steps, method, cfg_scale,
         for j in range(n_sub):
             t0 = time.time()
             argv = [
-                "--weight_path", CKPT,
+                "--weight_path", ckpt,
                 "--result_path",
                 os.path.join(gen_root, f"cls{c}", f"sub{j}"),
                 "--generate_name", f"g{c}", "--num_images", str(sub),

@@ -1,0 +1,223 @@
+"""Progressive guided distillation tests (train/distill.py + cli/distill.py).
+
+The reference has no distillation; these tests pin the math that makes
+the beyond-reference capability correct: grid nesting (N-step student
+boundaries are every second 2N-grid boundary), the one-step-DDIM
+inversion identity, the constant-eps fixed point (a teacher whose eps
+prediction is constant is its own perfect student at any step count),
+loss descent on a real tiny UNet, and the CLI round trip — a distilled
+checkpoint self-describes its sampling so the generate CLI needs no
+extra flags.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from advshadow_tpu.core import make_diffusion, q_sample
+from advshadow_tpu.samplers.ddim import boundary_times
+from advshadow_tpu.train.distill import (
+    DistillConfig,
+    _ddim_substep,
+    create_distill_state,
+    distill_grid,
+    implied_x0_target,
+    make_distill_step,
+)
+
+
+class TestGrid:
+    def test_logsnr_nesting(self):
+        coeffs = make_diffusion(1000, "framework_linear")
+        for n in (4, 8, 16):
+            grid = distill_grid(coeffs, n)
+            assert grid.shape == (2 * n + 1,)
+            assert np.all(np.diff(grid) < 0) and grid[-1] == 0
+            coarse = boundary_times(np.asarray(coeffs.alphas_cumprod),
+                                    1000, n, "logsnr")
+            np.testing.assert_array_equal(grid[::2], coarse)
+
+    def test_degenerate_grid_raises(self):
+        coeffs = make_diffusion(20, "linear")
+        with pytest.raises(ValueError):
+            distill_grid(coeffs, 16)  # 32 boundaries on a 20-step chain
+
+
+class TestInversion:
+    def test_one_step_ddim_roundtrip(self):
+        """implied_x0_target inverts the (unclipped) one-step DDIM map:
+        recovering exactly the x0 the stepped eps implied."""
+        coeffs = make_diffusion(1000, "framework_linear")
+        rng = jax.random.PRNGKey(0)
+        x_t = jax.random.normal(rng, (4, 8, 8, 3))
+        eps_true = jax.random.normal(jax.random.PRNGKey(1), x_t.shape)
+        t = jnp.asarray([900, 500, 250, 50], jnp.int32)
+        t_next = jnp.asarray([700, 300, 100, 0], jnp.int32)
+        x_next = _ddim_substep(coeffs, lambda x, tt: eps_true, x_t, t,
+                               t_next, clip_denoised=False)
+        x0_rec = implied_x0_target(coeffs, x_t, t, t_next, x_next)
+        a_t = coeffs.sqrt_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        s_t = coeffs.sqrt_one_minus_alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        x0_true = (x_t - s_t * eps_true) / a_t
+        np.testing.assert_allclose(np.asarray(x0_rec),
+                                   np.asarray(x0_true), atol=1e-4)
+
+    def test_constant_eps_fixed_point(self):
+        """With a constant-eps teacher and in-range x0, two teacher
+        sub-steps equal one student step with the same eps — the implied
+        target IS the teacher's prediction (S&H's consistency property
+        on the DDIM flow)."""
+        coeffs = make_diffusion(1000, "framework_linear")
+        grid = jnp.asarray(distill_grid(coeffs, 8), jnp.int32)
+        b = 3
+        x0 = 0.1 * jax.random.normal(jax.random.PRNGKey(2), (b, 8, 8, 3))
+        eps_c = 0.1 * jax.random.normal(jax.random.PRNGKey(3), x0.shape)
+        i = jnp.asarray([0, 3, 7], jnp.int32)
+        t, t_mid, t_next = grid[2 * i], grid[2 * i + 1], grid[2 * i + 2]
+        x_t = q_sample(coeffs, x0, t, eps_c)
+        eps_fn = lambda x, tt: eps_c
+        x_mid = _ddim_substep(coeffs, eps_fn, x_t, t, t_mid, True)
+        x_tgt = _ddim_substep(coeffs, eps_fn, x_mid, t_mid, t_next, True)
+        x0_tgt = implied_x0_target(coeffs, x_t, t, t_next, x_tgt)
+        np.testing.assert_allclose(np.asarray(x0_tgt), np.asarray(x0),
+                                   atol=1e-4)
+
+
+def tiny_cond_unet():
+    from advshadow_tpu.models import UNet
+
+    return UNet(num_classes=4, channel=(4, 8, 16, 32, 64, 128))
+
+
+class TestDistillStep:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        coeffs = make_diffusion(1000, "framework_linear")
+        model = tiny_cond_unet()
+        rng = jax.random.PRNGKey(0)
+        x = jax.random.normal(rng, (4, 16, 16, 3)) * 0.5
+        y = jnp.asarray([0, 1, 2, 3], jnp.int32)
+        params = model.init(rng, x, jnp.zeros((4,), jnp.int32), y)
+        return coeffs, model, params, x, y
+
+    def test_loss_decreases(self, setup):
+        """Fixed-key loss descends after 20 updates.  Per-step loss values
+        are NOT comparable across steps (each draws different per-sample
+        segments, and the noisy-end segments carry a ~1/alpha_t^2 x0
+        scale for an untrained net), so the descent check evaluates the
+        same key/segments at the initial vs trained params."""
+        coeffs, model, params, x, y = setup
+        config = DistillConfig(n_student=4, cfg_w=2.0, lr=2e-3, steps=20,
+                               ema_start=2)
+        step_fn = make_distill_step(coeffs, config, model.apply)
+        fixed = jax.random.PRNGKey(123)
+
+        def loss_at(p):
+            st = create_distill_state(model, config, p)
+            _, m = step_fn(st, params, x, y, fixed)
+            return float(m["loss"])
+
+        before = loss_at(params)
+        state = create_distill_state(model, config, params)
+        rng = jax.random.PRNGKey(7)
+        for _ in range(20):
+            rng, k = jax.random.split(rng)
+            state, m = step_fn(state, params, x, y, k)
+            assert np.isfinite(float(m["loss"]))
+        assert int(state.step) == 20
+        after = loss_at(jax.device_get(state.params))
+        assert after < before
+
+    def test_student_inits_at_teacher(self, setup):
+        coeffs, model, params, x, y = setup
+        config = DistillConfig(n_student=4, steps=4)
+        state = create_distill_state(model, config, params)
+        leaves_s = jax.tree_util.tree_leaves(state.params)
+        leaves_t = jax.tree_util.tree_leaves(params)
+        for a, b in zip(leaves_s, leaves_t):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_separate_teacher_apply(self, setup):
+        """Stage >=2 shape: teacher is a DIFFERENT params tree run
+        CFG-free; the step must consume it through the jit argument."""
+        coeffs, model, params, x, y = setup
+        teacher = jax.tree_util.tree_map(lambda p: p * 1.01, params)
+        config = DistillConfig(n_student=2, cfg_w=0.0, lr=1e-3, steps=2)
+        state = create_distill_state(model, config, params)
+        step_fn = make_distill_step(coeffs, config, model.apply)
+        state, m1 = step_fn(state, teacher, x, y, jax.random.PRNGKey(0))
+        # same data/rng, self-teacher vs perturbed teacher -> different loss
+        state2 = create_distill_state(model, config, params)
+        state2, m2 = step_fn(state2, params, x, y, jax.random.PRNGKey(0))
+        assert float(m1["loss"]) != pytest.approx(float(m2["loss"]))
+
+
+class TestDistillCLI:
+    def test_stages_roundtrip_and_generate_defaults(self, tmp_path):
+        """Two-stage distill from a tiny trained ckpt; the stage ckpt's
+        metadata drives generation with NO sampling flags."""
+        from advshadow_tpu.cli.distill import main as distill_main
+        from advshadow_tpu.cli.generate import main as generate_main
+        from advshadow_tpu.train.checkpoint import save_ckpt
+        from PIL import Image
+
+        # tiny class-per-subdir dataset
+        root = tmp_path / "data"
+        for c in range(4):
+            d = root / f"c{c}"
+            os.makedirs(d)
+            for i in range(3):
+                arr = (np.random.default_rng(c * 10 + i)
+                       .random((16, 16, 3)) * 255).astype(np.uint8)
+                Image.fromarray(arr).save(d / f"{i}.png")
+
+        model = tiny_cond_unet()
+        rng = jax.random.PRNGKey(0)
+        x = jnp.zeros((2, 16, 16, 3))
+        params = model.init(rng, x, jnp.zeros((2,), jnp.int32),
+                            jnp.zeros((2,), jnp.int32))
+        save_ckpt(str(tmp_path / "teacher"), 0, params, params,
+                  num_classes=4, conditional=True, image_size=16,
+                  sample="ddim", network="unet", act="silu",
+                  noise_schedule="framework_linear",
+                  channel=[4, 8, 16, 32, 64, 128])
+
+        out = distill_main([
+            "--weight_path", str(tmp_path / "teacher" / "ckpt_last"),
+            "--dataset_path", str(root), "--stages", "4,2",
+            "--steps_per_stage", "3", "--batch_size", "2", "--amp", "0",
+            "--cfg_scale", "2", "--result_path", str(tmp_path / "out"),
+            "--run_name", "d",
+        ])
+        assert set(out["stages"]) == {4, 2}
+        s2 = tmp_path / "out" / "d_s2" / "ckpt_last"
+        meta = json.load(open(s2 / "metadata.json"))
+        assert meta["sample_steps"] == 2
+        assert meta["sample_method"] == "logsnr"
+        assert meta["guidance_baked"] == 2.0
+        assert meta["distilled_stages"] == [4, 2]
+
+        imgs = generate_main([
+            "--weight_path", str(s2), "--result_path",
+            str(tmp_path / "gen"), "--class_name", "0",
+            "--num_images", "2", "--use_ema", "1",
+        ])
+        assert imgs.shape == (2, 16, 16, 3) and imgs.dtype == np.uint8
+
+        # per-stage resumable invocation: distilling FROM a distilled
+        # ckpt inherits the baked guidance (stage must run CFG-free and
+        # carry the original scale + stage history through)
+        distill_main([
+            "--weight_path", str(s2), "--dataset_path", str(root),
+            "--stages", "1", "--steps_per_stage", "2",
+            "--batch_size", "2", "--amp", "0", "--cfg_scale", "7",
+            "--result_path", str(tmp_path / "out2"), "--run_name", "d",
+        ])
+        meta1 = json.load(open(
+            tmp_path / "out2" / "d_s1" / "ckpt_last" / "metadata.json"))
+        assert meta1["guidance_baked"] == 2.0  # inherited, NOT the 7
+        assert meta1["distilled_stages"] == [4, 2, 1]
