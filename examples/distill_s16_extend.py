@@ -1,0 +1,117 @@
+"""Extend the s16 guidance-baking stage past the round-deadline budget.
+
+distill_metrics.json's control row showed the 700-update students carry
+the UNGUIDED teacher's conditioning (victim acc ~0.10-0.13 vs 0.25 for
+the CFG-3 teacher): stage 1 bakes the trajectory before it bakes the
+guidance lift.  This driver continues stage 1 — student initialized at
+the committed s16 weights, teacher = the original flagship with the
+CFG-3 fused forward — for ADVSHADOW_EXTEND_STEPS more updates (default
+1200), saves `shadow128_s16ext/ckpt_last`, and re-runs the same battery
+row so the budget→conditioning trend is a measured curve, not a claim.
+
+Usage: python examples/distill_s16_extend.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+ART = os.path.join(REPO, "artifacts", "at_size_128")
+DATA = os.environ.get("ADVSHADOW_128_DATA", "/tmp/advshadow_128")
+STEPS = int(os.environ.get("ADVSHADOW_EXTEND_STEPS", "1200"))
+METRICS = os.path.join(ART, "distill_metrics.json")
+
+
+def main():
+    from advshadow_tpu.utils.runtime import runtime_init
+
+    runtime_init()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from advshadow_tpu.core import make_diffusion
+    from advshadow_tpu.data import BatchLoader, ImageFolderDataset
+    from advshadow_tpu.models import make_network
+    from advshadow_tpu.train.checkpoint import load_ckpt, save_ckpt
+    from advshadow_tpu.train.distill import (
+        DistillConfig, create_distill_state, make_distill_step)
+
+    teacher_tree = load_ckpt(os.path.join(ART, "diffusion_run", "shadow128",
+                                          "ckpt_last"))
+    s16_tree = load_ckpt(os.path.join(ART, "distill_run", "shadow128_s16",
+                                      "ckpt_last"))
+    meta = teacher_tree["metadata"]
+    model = make_network(meta["network"], num_classes=meta["num_classes"],
+                         act=meta["act"], channel=tuple(meta["channel"]),
+                         dtype=jnp.bfloat16)
+    coeffs = make_diffusion(1000, meta["noise_schedule"])
+    to_f32 = lambda tr: jax.tree_util.tree_map(
+        lambda p: jnp.asarray(p, jnp.float32), tr)
+    teacher_params = to_f32(teacher_tree["ema_model"])
+    student_init = to_f32(s16_tree["model"])
+
+    config = DistillConfig(n_student=16, cfg_w=3.0, steps=STEPS,
+                           compute_dtype=jnp.bfloat16)
+    state = create_distill_state(model, config, student_init)
+    step_fn = make_distill_step(coeffs, config, model.apply)
+
+    dataset = ImageFolderDataset(os.path.join(DATA, "train", "byclass"),
+                                 meta["image_size"], seed=0)
+    loader = BatchLoader(dataset, 16, seed=1)  # fresh shuffle stream
+    rng = jax.random.PRNGKey(1)
+    losses, done, t0 = [], 0, time.time()
+    while done < STEPS:
+        for batch in loader:
+            if done >= STEPS:
+                break
+            rng, k = jax.random.split(rng)
+            state, m = step_fn(state, teacher_params,
+                               jnp.asarray(batch[0]),
+                               jnp.asarray(batch[1], jnp.int32), k)
+            losses.append(float(m["loss"]))
+            done += 1
+            if done % 100 == 0:
+                print(f"[s16ext] {done}/{STEPS} loss="
+                      f"{np.mean(losses[-100:]):.4f} "
+                      f"({done / (time.time() - t0):.2f} steps/s)",
+                      flush=True)
+    out = os.path.join(ART, "distill_run", "shadow128_s16ext")
+    save_ckpt(out, epoch=done, params=jax.device_get(state.params),
+              ema_params=jax.device_get(state.ema_params),
+              num_classes=meta["num_classes"], conditional=True,
+              image_size=meta["image_size"], sample="ddim",
+              network=meta["network"], act=meta["act"],
+              classes_name=meta.get("classes_name"),
+              noise_schedule=meta["noise_schedule"],
+              channel=meta["channel"], sample_steps=16,
+              sample_method="logsnr", guidance_baked=3.0,
+              distilled_stages=[16, 16])
+    print(f"[s16ext] saved {out} (loss {np.mean(losses[:100]):.3f} -> "
+          f"{np.mean(losses[-100:]):.3f})", flush=True)
+
+    from benchmarks.at_size_128_eval import _gen_and_eval
+
+    metrics = json.load(open(METRICS)) if os.path.exists(METRICS) else {}
+    row = _gen_and_eval("distill_s16ext", "ddim", 16, "logsnr", 0,
+                        per_cls=32, ckpt=os.path.join(out, "ckpt_last"))
+    row["config"]["guidance_baked"] = 3.0
+    row["stage1_updates_total"] = 700 + STEPS
+    row["loss_first100"] = float(np.mean(losses[:100]))
+    row["loss_last100"] = float(np.mean(losses[-100:]))
+    metrics.setdefault("students", {})["distill_s16ext"] = row
+    with open(METRICS, "w") as f:
+        json.dump(metrics, f, indent=2)
+    print("[s16ext] eval", row["fid_generated_vs_train"],
+          row["victim_accuracy_on_generated"],
+          row.get("warm_imgs_per_sec_e2e_cli"), flush=True)
+
+
+if __name__ == "__main__":
+    main()
