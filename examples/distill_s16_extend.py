@@ -28,10 +28,42 @@ STEPS = int(os.environ.get("ADVSHADOW_EXTEND_STEPS", "1200"))
 METRICS = os.path.join(ART, "distill_metrics.json")
 
 
+def _ensure_committed_inputs():
+    """Rebuild dataset + checkpoints from committed evidence if a host
+    wipe erased the working trees (same pattern as
+    examples/at_size_128_eval_from_committed.py)."""
+    from advshadow_tpu.data.synthetic import generate_dataset
+    from advshadow_tpu.train import restore_ckpt_from_npz
+
+    train_root = os.path.join(DATA, "train")
+    if not os.path.exists(os.path.join(train_root, "labels.json")):
+        generate_dataset(train_root, 50, 128, 0, start_index=0)
+        print(f"[s16ext] regenerated train split at {train_root}",
+              flush=True)
+    teacher_results = os.path.join(ART, "diffusion_run", "shadow128")
+    if not os.path.exists(os.path.join(teacher_results, "ckpt_last",
+                                       "metadata.json")):
+        restore_ckpt_from_npz(os.path.join(ART, "ema_params_f16.npz"),
+                              os.path.join(ART, "metadata.json"),
+                              teacher_results)
+        print("[s16ext] teacher ckpt rebuilt from committed npz",
+              flush=True)
+    s16_results = os.path.join(ART, "distill_run", "shadow128_s16")
+    if not os.path.exists(os.path.join(s16_results, "ckpt_last",
+                                       "metadata.json")):
+        restore_ckpt_from_npz(
+            os.path.join(ART, "distilled", "s16", "ema_params_f16.npz"),
+            os.path.join(ART, "distilled", "s16", "metadata.json"),
+            s16_results)
+        print("[s16ext] s16 stage ckpt rebuilt from committed npz",
+              flush=True)
+
+
 def main():
     from advshadow_tpu.utils.runtime import runtime_init
 
     runtime_init()
+    _ensure_committed_inputs()
     import jax
     import jax.numpy as jnp
     import numpy as np
