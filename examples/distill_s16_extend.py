@@ -26,6 +26,8 @@ ART = os.path.join(REPO, "artifacts", "at_size_128")
 DATA = os.environ.get("ADVSHADOW_128_DATA", "/tmp/advshadow_128")
 STEPS = int(os.environ.get("ADVSHADOW_EXTEND_STEPS", "1200"))
 METRICS = os.path.join(ART, "distill_metrics.json")
+SNAP = os.path.join(DATA, "s16ext_resume.npz")
+SNAP_EVERY = 100
 
 
 def _ensure_committed_inputs():
@@ -57,6 +59,41 @@ def _ensure_committed_inputs():
             s16_results)
         print("[s16ext] s16 stage ckpt rebuilt from committed npz",
               flush=True)
+
+
+def _save_snap(state, done, losses):
+    """Uncompressed f32 snapshot of params+ema+progress so a relay-wedge
+    kill/restart resumes mid-run instead of redoing the whole budget
+    (optimizer moments are dropped; AdamW re-warms in ~beta-horizon
+    steps, which is noise at this budget)."""
+    import numpy as np
+    from advshadow_tpu.train.checkpoint import _flatten
+
+    flat = {"__done__": np.asarray(done, np.int64),
+            "__losses__": np.asarray(losses, np.float32)}
+    for tag, tree in (("p:", state.params), ("e:", state.ema_params)):
+        for k, v in _flatten(tree).items():
+            flat[tag + k] = np.asarray(v, np.float32)
+    tmp = SNAP + ".tmp.npz"
+    np.savez(tmp, **flat)
+    os.replace(tmp, SNAP)
+
+
+def _load_snap(like):
+    """Returns (params, ema_params, done, losses) or None."""
+    import numpy as np
+    from advshadow_tpu.train.checkpoint import _unflatten
+
+    if not os.path.exists(SNAP):
+        return None
+    arch = np.load(SNAP)
+    trees = []
+    for tag in ("p:", "e:"):
+        flat = {k[len(tag):]: arch[k] for k in arch.files
+                if k.startswith(tag)}
+        trees.append(_unflatten(flat, like))
+    return (trees[0], trees[1], int(arch["__done__"]),
+            [float(x) for x in arch["__losses__"]])
 
 
 def main():
@@ -91,14 +128,24 @@ def main():
 
     config = DistillConfig(n_student=16, cfg_w=3.0, steps=STEPS,
                            compute_dtype=jnp.bfloat16)
+    start, losses = 0, []
+    snap = _load_snap(student_init)
+    if snap is not None:
+        student_init, ema0, start, losses = snap[0], snap[1], snap[2], snap[3]
+        print(f"[s16ext] resumed from snapshot at step {start}", flush=True)
     state = create_distill_state(model, config, student_init)
+    if snap is not None:
+        state = state.replace(step=start,
+                              ema_params=jax.tree_util.tree_map(
+                                  lambda p: jnp.asarray(p, jnp.float32),
+                                  ema0))
     step_fn = make_distill_step(coeffs, config, model.apply)
 
     dataset = ImageFolderDataset(os.path.join(DATA, "train", "byclass"),
                                  meta["image_size"], seed=0)
     loader = BatchLoader(dataset, 16, seed=1)  # fresh shuffle stream
-    rng = jax.random.PRNGKey(1)
-    losses, done, t0 = [], 0, time.time()
+    rng = jax.random.fold_in(jax.random.PRNGKey(1), start)
+    done, t0 = start, time.time()
     while done < STEPS:
         for batch in loader:
             if done >= STEPS:
@@ -112,8 +159,10 @@ def main():
             if done % 100 == 0:
                 print(f"[s16ext] {done}/{STEPS} loss="
                       f"{np.mean(losses[-100:]):.4f} "
-                      f"({done / (time.time() - t0):.2f} steps/s)",
-                      flush=True)
+                      f"({(done - start) / (time.time() - t0):.2f} "
+                      "steps/s)", flush=True)
+            if done % SNAP_EVERY == 0 or done == STEPS:
+                _save_snap(state, done, losses)
     out = os.path.join(ART, "distill_run", "shadow128_s16ext")
     save_ckpt(out, epoch=done, params=jax.device_get(state.params),
               ema_params=jax.device_get(state.ema_params),
