@@ -164,29 +164,44 @@ def main():
             if done % SNAP_EVERY == 0 or done == STEPS:
                 _save_snap(state, done, losses)
     out = os.path.join(ART, "distill_run", "shadow128_s16ext")
+    ckpt_meta = dict(
+        num_classes=meta["num_classes"], conditional=True,
+        image_size=meta["image_size"], sample="ddim",
+        network=meta["network"], act=meta["act"],
+        classes_name=meta.get("classes_name"),
+        noise_schedule=meta["noise_schedule"],
+        channel=meta["channel"], sample_steps=16,
+        sample_method="logsnr", guidance_baked=3.0,
+        distilled_stages=[16, 16])
     save_ckpt(out, epoch=done, params=jax.device_get(state.params),
-              ema_params=jax.device_get(state.ema_params),
-              num_classes=meta["num_classes"], conditional=True,
-              image_size=meta["image_size"], sample="ddim",
-              network=meta["network"], act=meta["act"],
-              classes_name=meta.get("classes_name"),
-              noise_schedule=meta["noise_schedule"],
-              channel=meta["channel"], sample_steps=16,
-              sample_method="logsnr", guidance_baked=3.0,
-              distilled_stages=[16, 16])
+              ema_params=jax.device_get(state.ema_params), **ckpt_meta)
     print(f"[s16ext] saved {out} (loss {np.mean(losses[:100]):.3f} -> "
           f"{np.mean(losses[-100:]):.3f})", flush=True)
 
+    # committed-evidence export (distill_run/ is gitignored): f16 EMA npz
+    # + metadata, same policy as the other distilled stages
+    from advshadow_tpu.train.checkpoint import export_params_npz
+
+    exp_dir = os.path.join(ART, "distilled", f"s16ext_{700 + STEPS}")
+    export_params_npz(jax.device_get(state.ema_params),
+                      os.path.join(exp_dir, "ema_params_f16.npz"))
+    with open(os.path.join(exp_dir, "metadata.json"), "w") as f:
+        json.dump(dict(ckpt_meta, start_epoch=done), f, indent=2)
+    print(f"[s16ext] exported {exp_dir}", flush=True)
+
     from benchmarks.at_size_128_eval import _gen_and_eval
 
+    total = 700 + STEPS  # committed s16 stage had 700 stage-1 updates
     metrics = json.load(open(METRICS)) if os.path.exists(METRICS) else {}
-    row = _gen_and_eval("distill_s16ext", "ddim", 16, "logsnr", 0,
+    row = _gen_and_eval(f"distill_s16ext_{total}", "ddim", 16, "logsnr", 0,
                         per_cls=32, ckpt=os.path.join(out, "ckpt_last"))
     row["config"]["guidance_baked"] = 3.0
-    row["stage1_updates_total"] = 700 + STEPS
+    row["stage1_updates_total"] = total
     row["loss_first100"] = float(np.mean(losses[:100]))
     row["loss_last100"] = float(np.mean(losses[-100:]))
-    metrics.setdefault("students", {})["distill_s16ext"] = row
+    # keyed by total budget so chained extensions build a trend curve
+    # instead of overwriting the previous point
+    metrics.setdefault("students", {})[f"distill_s16ext_{total}"] = row
     with open(METRICS, "w") as f:
         json.dump(metrics, f, indent=2)
     print("[s16ext] eval", row["fid_generated_vs_train"],
