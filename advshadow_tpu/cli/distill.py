@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--optim", type=str, default="adamw")
+    p.add_argument("--loss_weight", type=str, default="trunc_snr",
+                   choices=["trunc_snr", "x0"],
+                   help="distillation loss weighting: S&H truncated SNR "
+                        "(default) or uniform x0-space MSE (keeps the "
+                        "guidance-bearing high-t segments weighted)")
     p.add_argument("--amp", type=str2bool, default=True,
                    help="bf16 activations (TPU fast path)")
     p.add_argument("--seed", type=int, default=0)
@@ -124,7 +129,8 @@ def distill(args) -> dict:
             else float(args.cfg_scale)
         config = DistillConfig(
             n_student=n_student, cfg_w=cfg_w, lr=args.lr, optim=args.optim,
-            steps=args.steps_per_stage, compute_dtype=cdt)
+            steps=args.steps_per_stage, compute_dtype=cdt,
+            loss_weight=args.loss_weight)
         state = replicate(
             create_distill_state(model, config,
                                  jax.device_get(teacher_params)), mesh)

@@ -70,6 +70,11 @@ class DistillConfig:
     clip_denoised: bool = True            # teacher sub-steps clip x0 like
     #                                       the reference DDIM (diff_model.py:379)
     compute_dtype: Any = jnp.float32      # jnp.bfloat16 = TPU fast path
+    loss_weight: str = "trunc_snr"        # "trunc_snr" = max(1, SNR) (S&H
+    #   eq. 9) spans 1..1e4 over the chain, so low-t reconstruction
+    #   dominates the gradient; "x0" = uniform x0-space MSE, which keeps
+    #   the high-t segments (where CFG's class lift is expressed) on an
+    #   equal footing — the guidance-baking ablation knob
 
 
 def distill_grid(coeffs: DiffusionCoefficients, n_student: int) -> np.ndarray:
@@ -223,10 +228,16 @@ def make_distill_step(
                               labels).astype(jnp.float32)
         a_t, s_t = _gather_as(coeffs, t, x_t)
         x0_s = (x_t - s_t * eps_s) / a_t
-        # truncated-SNR weighting: max(1, alpha^2/sigma^2) (S&H eq. 9)
-        w = jnp.maximum(1.0, (a_t / s_t) ** 2)
         per = jnp.mean(jnp.square(x0_tgt - x0_s),
                        axis=tuple(range(1, x_t.ndim)), keepdims=True)
+        if config.loss_weight == "trunc_snr":
+            # truncated-SNR weighting: max(1, alpha^2/sigma^2) (S&H eq. 9)
+            w = jnp.maximum(1.0, (a_t / s_t) ** 2)
+        elif config.loss_weight == "x0":
+            w = jnp.ones_like(a_t)
+        else:
+            raise ValueError(
+                f"unknown loss_weight {config.loss_weight!r}")
         return jnp.mean(w * per)
 
     @partial(jax.jit, donate_argnums=(0,))

@@ -141,6 +141,50 @@ class TestDistillStep:
         for a, b in zip(leaves_s, leaves_t):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_x0_weighting_descends_and_differs(self, setup):
+        """loss_weight='x0' (uniform x0 MSE) is a valid config: the loss
+        descends, and at the same key/segments it differs from the
+        truncated-SNR value (the weights differ wherever SNR > 1, so the
+        fixed key must sample at least one low-t segment — key 7 draws
+        segment 3, whose start t=30 has SNR~80 on this grid; key 123
+        draws only SNR<1 segments where both weightings are 1)."""
+        coeffs, model, params, x, y = setup
+        fixed = jax.random.PRNGKey(7)
+        losses = {}
+        for lw in ("x0", "trunc_snr"):
+            config = DistillConfig(n_student=4, cfg_w=2.0, lr=2e-3,
+                                   steps=20, ema_start=2, loss_weight=lw)
+            step_fn = make_distill_step(coeffs, config, model.apply)
+            st = create_distill_state(model, config, params)
+            _, m = step_fn(st, params, x, y, fixed)
+            losses[lw] = float(m["loss"])
+        assert losses["x0"] != pytest.approx(losses["trunc_snr"])
+
+        config = DistillConfig(n_student=4, cfg_w=2.0, lr=2e-3, steps=20,
+                               ema_start=2, loss_weight="x0")
+        step_fn = make_distill_step(coeffs, config, model.apply)
+
+        def loss_at(p):
+            st = create_distill_state(model, config, p)
+            _, m = step_fn(st, params, x, y, fixed)
+            return float(m["loss"])
+
+        before = loss_at(params)
+        state = create_distill_state(model, config, params)
+        rng = jax.random.PRNGKey(7)
+        for _ in range(20):
+            rng, k = jax.random.split(rng)
+            state, _ = step_fn(state, params, x, y, k)
+        assert loss_at(jax.device_get(state.params)) < before
+
+    def test_unknown_loss_weight_raises(self, setup):
+        coeffs, model, params, x, y = setup
+        config = DistillConfig(n_student=4, steps=2, loss_weight="bogus")
+        step_fn = make_distill_step(coeffs, config, model.apply)
+        state = create_distill_state(model, config, params)
+        with pytest.raises(ValueError, match="loss_weight"):
+            step_fn(state, params, x, y, jax.random.PRNGKey(0))
+
     def test_separate_teacher_apply(self, setup):
         """Stage >=2 shape: teacher is a DIFFERENT params tree run
         CFG-free; the step must consume it through the jit argument."""
