@@ -49,7 +49,8 @@ from advshadow_tpu.train.lr import make_lr_schedule
 from advshadow_tpu.train.trainer import TrainState, ema_update
 
 __all__ = ["DistillConfig", "distill_grid", "create_distill_state",
-           "make_distill_step", "implied_x0_target"]
+           "make_distill_step", "implied_x0_target",
+           "make_teacher_targets"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -175,6 +176,47 @@ def create_distill_state(model, config: DistillConfig,
     )
 
 
+def make_teacher_targets(
+    coeffs: DiffusionCoefficients,
+    config: DistillConfig,
+    teacher_apply: Callable,
+):
+    """The stage's regression-target map, exposed for direct testing
+    (round-4 verdict: prove the stage-1 target *contains* the CFG lift).
+
+    Returns ``targets(teacher_params, x_t, labels, t, t_mid, t_next) ->
+    x0_tgt``: two teacher DDIM sub-steps through the midpoint (CFG-
+    guided fused 2N forward when ``config.cfg_w > 0``, exactly
+    samplers.base.make_denoise_fn's null-row convention), inverted to
+    the x0 the student must predict.
+    """
+    cdt = config.compute_dtype
+
+    def teacher_eps(tp, x, t, y):
+        xc = x.astype(cdt)
+        if config.cfg_w:
+            n = x.shape[0]
+            null = jnp.full((n,), -1, jnp.int32)
+            eps2 = teacher_apply(tp, jnp.concatenate([xc, xc]),
+                                 jnp.concatenate([t, t]),
+                                 jnp.concatenate([y, null]))
+            cond, uncond = eps2[:n], eps2[n:]
+            return (uncond + config.cfg_w * (cond - uncond)).astype(
+                jnp.float32)
+        return teacher_apply(tp, xc, t, y).astype(jnp.float32)
+
+    def targets(tp, x_t, labels, t, t_mid, t_next):
+        eps_fn = lambda x, tt: teacher_eps(tp, x, tt, labels)
+        x_mid = _ddim_substep(coeffs, eps_fn, x_t, t, t_mid,
+                              config.clip_denoised)
+        x_tgt = _ddim_substep(coeffs, eps_fn, x_mid, t_mid, t_next,
+                              config.clip_denoised)
+        x_tgt = jax.lax.stop_gradient(x_tgt)
+        return implied_x0_target(coeffs, x_t, t, t_next, x_tgt)
+
+    return targets
+
+
 def make_distill_step(
     coeffs: DiffusionCoefficients,
     config: DistillConfig,
@@ -199,30 +241,11 @@ def make_distill_step(
                              jnp.int32)
     n_seg = config.n_student
     cdt = config.compute_dtype
-
-    def teacher_eps(tp, x, t, y):
-        xc = x.astype(cdt)
-        if config.cfg_w:
-            n = x.shape[0]
-            null = jnp.full((n,), -1, jnp.int32)
-            eps2 = teacher_apply(tp, jnp.concatenate([xc, xc]),
-                                 jnp.concatenate([t, t]),
-                                 jnp.concatenate([y, null]))
-            cond, uncond = eps2[:n], eps2[n:]
-            return (uncond + config.cfg_w * (cond - uncond)).astype(
-                jnp.float32)
-        return teacher_apply(tp, xc, t, y).astype(jnp.float32)
+    teacher_targets = make_teacher_targets(coeffs, config, teacher_apply)
 
     def loss_fn(params, tp, images, labels, t, t_mid, t_next, noise):
         x_t = q_sample(coeffs, images, t, noise)
-        # teacher: two DDIM sub-steps through the midpoint
-        eps_fn = lambda x, tt: teacher_eps(tp, x, tt, labels)
-        x_mid = _ddim_substep(coeffs, eps_fn, x_t, t, t_mid,
-                              config.clip_denoised)
-        x_tgt = _ddim_substep(coeffs, eps_fn, x_mid, t_mid, t_next,
-                              config.clip_denoised)
-        x_tgt = jax.lax.stop_gradient(x_tgt)
-        x0_tgt = implied_x0_target(coeffs, x_t, t, t_next, x_tgt)
+        x0_tgt = teacher_targets(tp, x_t, labels, t, t_mid, t_next)
 
         eps_s = student_apply(params, x_t.astype(cdt), t,
                               labels).astype(jnp.float32)
