@@ -117,6 +117,24 @@ def _attack(victim_fn, imgs01, masks, targets, rng, cfg, chunk=ATTACK_CHUNK):
     return jnp.concatenate(chunks), rng
 
 
+def _warm_attack(victim_fn, imgs01, masks, targets, cfg,
+                 chunk=ATTACK_CHUNK):
+    """Pay the attack-config's compile OUTSIDE the timed region: every
+    distinct ShadowOptConfig (mode/radius/intensity/iterations) traces a
+    new program, and the round-4 battery charged that first compile to
+    whichever row hit it — the ascent rows read 10 imgs/s while the
+    iteration sweep showed them costing the same as targeted (~46)
+    (round-4 verdict Weak #4).  One chunk-sized throwaway call makes
+    every row's imgs_per_sec a warm number."""
+    import jax
+
+    from advshadow_tpu.attack import batched_optimize_shadow
+
+    jax.block_until_ready(batched_optimize_shadow(
+        victim_fn, imgs01[:chunk], masks[:chunk], targets[:chunk],
+        jax.random.PRNGKey(0), cfg).image)
+
+
 def _chunked_logits(victim_fn, imgs01, chunk=128):
     import jax.numpy as jnp
 
@@ -165,6 +183,7 @@ def phase_attack(eval_root, metrics):
                 targets = (labels + offset) % N_CLS
             else:
                 targets = labels
+            _warm_attack(victim_fn, imgs01, masks, targets, cfg)
             t0 = time.time()
             adv, rng = _attack(victim_fn, imgs01, masks, targets, rng, cfg)
             dt = time.time() - t0
@@ -176,6 +195,7 @@ def phase_attack(eval_root, metrics):
                    "ascent": "attacked_ascent"}[mode] + suffix
             metrics[key] = {
                 "accuracy": round(acc, 4), "asr": round(1 - acc, 4), "n": n,
+                "timing": "warm",
                 "target_hit_rate": (round(float(jnp.mean(
                     (pred == targets).astype(jnp.float32))), 4)
                     if mode == "targeted" else None),
@@ -394,6 +414,7 @@ def phase_sweep(eval_root, metrics):
             cfg = dataclasses.replace(
                 EVAL_CONFIG, shadow_intensity=intensity,
                 untargeted_ascent=(mode == "ascent"))
+            _warm_attack(victim_fn, imgs01, masks, targets, cfg)
             t0 = time.time()
             adv, rng = _attack(victim_fn, imgs01, masks, targets, rng, cfg)
             dt = time.time() - t0
@@ -401,7 +422,7 @@ def phase_sweep(eval_root, metrics):
             acc = float(jnp.mean((pred == labels).astype(jnp.float32)))
             ssim_v, psnr_v = batch_psnr_ssim(adv, imgs01)
             row = {"mode": mode, "targeted": mode == "targeted",
-                   "intensity": intensity,
+                   "intensity": intensity, "timing": "warm",
                    "asr": round(1 - acc, 4), "accuracy": round(acc, 4),
                    "target_hit_rate": (round(float(jnp.mean(
                        (pred == targets).astype(jnp.float32))), 4)
@@ -428,6 +449,7 @@ def _attack_row(victim_fn, imgs01, masks, labels, targets, rng, cfg):
     from advshadow_tpu.eval import batch_psnr_ssim
     from advshadow_tpu.victims.zoo import safe_argmax
 
+    _warm_attack(victim_fn, imgs01, masks, targets, cfg)
     t0 = time.time()
     adv, rng = _attack(victim_fn, imgs01, masks, targets, rng, cfg)
     dt = time.time() - t0
@@ -435,6 +457,7 @@ def _attack_row(victim_fn, imgs01, masks, labels, targets, rng, cfg):
     acc = float(jnp.mean((pred == labels).astype(jnp.float32)))
     ssim_v, psnr_v = batch_psnr_ssim(adv, imgs01)
     return {"asr": round(1 - acc, 4), "accuracy": round(acc, 4),
+            "timing": "warm",
             "target_hit_rate": round(float(jnp.mean(
                 (pred == targets).astype(jnp.float32))), 4),
             "ssim": round(float(jnp.mean(ssim_v)), 4),
@@ -636,7 +659,7 @@ def main(argv=None):
     phases = list(argv if argv is not None else sys.argv[1:]) or [
         "attack", "generate", "sweep", "iters", "strong", "loss"]
     out_path = os.environ.get(
-        "ADVSHADOW_128_OUT", os.path.join(REPO, "TRAINED128_r04.json"))
+        "ADVSHADOW_128_OUT", os.path.join(REPO, "TRAINED128_r05.json"))
     metrics = {"checkpoint": os.path.relpath(CKPT, REPO),
                "image_size": SIZE,
                # the orbax tree is .gitignored; the COMMITTED evidence is
@@ -651,6 +674,15 @@ def main(argv=None):
     if os.path.exists(out_path):  # accumulate across phase-wise runs
         with open(out_path) as f:
             metrics.update(json.load(f))
+    else:
+        # new round file: carry the previous round's blocks forward so
+        # phases not re-run this round keep their latest measurement
+        # (each block's config self-describes when it was measured)
+        prev = os.path.join(REPO, "TRAINED128_r04.json")
+        if os.path.exists(prev):
+            with open(prev) as f:
+                metrics.update(json.load(f))
+            metrics["seeded_from"] = os.path.basename(prev)
     eval_root = phase_data()
     if "attack" in phases:
         phase_attack(eval_root, metrics)

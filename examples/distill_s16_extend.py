@@ -4,12 +4,16 @@ distill_metrics.json's control row showed the 700-update students carry
 the UNGUIDED teacher's conditioning (victim acc ~0.10-0.13 vs 0.25 for
 the CFG-3 teacher): stage 1 bakes the trajectory before it bakes the
 guidance lift.  This driver continues stage 1 — student initialized at
-the committed s16 weights, teacher = the original flagship with the
-CFG-3 fused forward — for ADVSHADOW_EXTEND_STEPS more updates (default
-1200), saves `shadow128_s16ext/ckpt_last`, and re-runs the same battery
-row so the budget→conditioning trend is a measured curve, not a claim.
+a committed stage's weights (ADVSHADOW_EXTEND_FROM, default s16, with
+ADVSHADOW_EXTEND_BASE total updates already in it), teacher = the
+original flagship with the CFG-3 fused forward — for
+ADVSHADOW_EXTEND_STEPS more updates (default 1200), saves
+`shadow128_s16ext_<total>/ckpt_last`, and re-runs the same battery row
+so the budget→conditioning trend is a measured curve, not a claim.
 
 Usage: python examples/distill_s16_extend.py
+       ADVSHADOW_EXTEND_FROM=s16ext_1900 ADVSHADOW_EXTEND_BASE=1900 \
+       ADVSHADOW_EXTEND_STEPS=3100 python examples/distill_s16_extend.py
 """
 
 from __future__ import annotations
@@ -25,8 +29,14 @@ sys.path.insert(0, REPO)
 ART = os.path.join(REPO, "artifacts", "at_size_128")
 DATA = os.environ.get("ADVSHADOW_128_DATA", "/tmp/advshadow_128")
 STEPS = int(os.environ.get("ADVSHADOW_EXTEND_STEPS", "1200"))
+#: committed stage to continue from (dir under artifacts/.../distilled)
+#: and the total stage-1 updates already in it — chained extensions
+#: (s16 at 700 -> s16ext_1900 -> ...) build one budget->conditioning
+#: trend curve
+FROM = os.environ.get("ADVSHADOW_EXTEND_FROM", "s16")
+BASE = int(os.environ.get("ADVSHADOW_EXTEND_BASE", "700"))
 METRICS = os.path.join(ART, "distill_metrics.json")
-SNAP = os.path.join(DATA, "s16ext_resume.npz")
+SNAP = os.path.join(DATA, f"s16ext_{FROM}_{STEPS}_resume.npz")
 SNAP_EVERY = 100
 
 
@@ -50,14 +60,14 @@ def _ensure_committed_inputs():
                               teacher_results)
         print("[s16ext] teacher ckpt rebuilt from committed npz",
               flush=True)
-    s16_results = os.path.join(ART, "distill_run", "shadow128_s16")
+    s16_results = os.path.join(ART, "distill_run", f"shadow128_{FROM}")
     if not os.path.exists(os.path.join(s16_results, "ckpt_last",
                                        "metadata.json")):
         restore_ckpt_from_npz(
-            os.path.join(ART, "distilled", "s16", "ema_params_f16.npz"),
-            os.path.join(ART, "distilled", "s16", "metadata.json"),
+            os.path.join(ART, "distilled", FROM, "ema_params_f16.npz"),
+            os.path.join(ART, "distilled", FROM, "metadata.json"),
             s16_results)
-        print("[s16ext] s16 stage ckpt rebuilt from committed npz",
+        print(f"[s16ext] {FROM} stage ckpt rebuilt from committed npz",
               flush=True)
 
 
@@ -114,8 +124,8 @@ def main():
 
     teacher_tree = load_ckpt(os.path.join(ART, "diffusion_run", "shadow128",
                                           "ckpt_last"))
-    s16_tree = load_ckpt(os.path.join(ART, "distill_run", "shadow128_s16",
-                                      "ckpt_last"))
+    s16_tree = load_ckpt(os.path.join(ART, "distill_run",
+                                      f"shadow128_{FROM}", "ckpt_last"))
     meta = teacher_tree["metadata"]
     model = make_network(meta["network"], num_classes=meta["num_classes"],
                          act=meta["act"], channel=tuple(meta["channel"]),
@@ -163,7 +173,8 @@ def main():
                       "steps/s)", flush=True)
             if done % SNAP_EVERY == 0 or done == STEPS:
                 _save_snap(state, done, losses)
-    out = os.path.join(ART, "distill_run", "shadow128_s16ext")
+    total = BASE + STEPS
+    out = os.path.join(ART, "distill_run", f"shadow128_s16ext_{total}")
     ckpt_meta = dict(
         num_classes=meta["num_classes"], conditional=True,
         image_size=meta["image_size"], sample="ddim",
@@ -172,7 +183,7 @@ def main():
         noise_schedule=meta["noise_schedule"],
         channel=meta["channel"], sample_steps=16,
         sample_method="logsnr", guidance_baked=3.0,
-        distilled_stages=[16, 16])
+        distilled_stages=[16, 16], stage1_updates_total=total)
     save_ckpt(out, epoch=done, params=jax.device_get(state.params),
               ema_params=jax.device_get(state.ema_params), **ckpt_meta)
     print(f"[s16ext] saved {out} (loss {np.mean(losses[:100]):.3f} -> "
@@ -182,7 +193,7 @@ def main():
     # + metadata, same policy as the other distilled stages
     from advshadow_tpu.train.checkpoint import export_params_npz
 
-    exp_dir = os.path.join(ART, "distilled", f"s16ext_{700 + STEPS}")
+    exp_dir = os.path.join(ART, "distilled", f"s16ext_{total}")
     export_params_npz(jax.device_get(state.ema_params),
                       os.path.join(exp_dir, "ema_params_f16.npz"))
     with open(os.path.join(exp_dir, "metadata.json"), "w") as f:
@@ -191,7 +202,6 @@ def main():
 
     from benchmarks.at_size_128_eval import _gen_and_eval
 
-    total = 700 + STEPS  # committed s16 stage had 700 stage-1 updates
     metrics = json.load(open(METRICS)) if os.path.exists(METRICS) else {}
     row = _gen_and_eval(f"distill_s16ext_{total}", "ddim", 16, "logsnr", 0,
                         per_cls=32, ckpt=os.path.join(out, "ckpt_last"))
