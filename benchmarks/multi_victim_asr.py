@@ -51,7 +51,7 @@ EPOCHS = int(os.environ.get("ADVSHADOW_ZOO_EPOCHS", "20"))
 #: the reference's families, minus the environment-blocked pretrained
 #: checkpoints: convolutional (vgg16, efficientnetv2_s, convnext_tiny)
 #: and attention (vit_s16, swin_tiny) victims, per ASR_fast.py:129-167
-ZOO = ("vgg16", "convnext_tiny", "efficientnetv2_s", "vit_s16",
+ZOO = ("vgg16", "vit_s16", "convnext_tiny", "efficientnetv2_s",
        "swin_tiny")
 #: AdamW from-scratch LRs: 1e-3 matches the resnet18 victims; the
 #: transformer families need the lower standard 3e-4 to train stably

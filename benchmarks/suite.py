@@ -467,7 +467,7 @@ def config_sweep(small):
     return out
 
 
-def config_flagship_128(small, fast=False):
+def config_flagship_128(small, fast=False, distilled_steps=None):
     """Config 6: the paper's operating point — the at-size (128 px)
     flagship architecture (conditional UNet, channels 32..1024, GELU —
     the exact arch behind artifacts/at_size_128) running DDIM-50 CFG
@@ -485,6 +485,14 @@ def config_flagship_128(small, fast=False):
     measured *better* conditioning accuracy than DDIM-50 at 2.5× fewer
     denoiser evaluations, i.e. a beyond-reference operating point, not
     a quality trade.
+
+    ``distilled_steps=N`` measures the progressive-distillation
+    operating point instead (train/distill.py students): N plain
+    conditional forwards on the logSNR grid — NO CFG double-batch, so
+    each step is half the flagship's denoiser cost on top of the step
+    reduction.  Throughput runs random weights (cost is
+    weight-independent); the quality columns cite the committed
+    distill_metrics.json rows for the matching student.
     """
     from advshadow_tpu.attack import EVAL_CONFIG, ShadowOptConfig, \
         batched_optimize_shadow
@@ -497,6 +505,8 @@ def config_flagship_128(small, fast=False):
     size = 32 if small else 128
     batch = 4 if small else int(os.environ.get("BENCH128_BATCH", "32"))
     steps = (3 if small else 20) if fast else (5 if small else 50)
+    if distilled_steps is not None:
+        steps = min(distilled_steps, 3) if small else distilled_steps
     num_classes = 10
     channels = (8, 8, 16, 16, 32, 32) if small else (
         32, 64, 128, 256, 512, 1024)
@@ -511,12 +521,21 @@ def config_flagship_128(small, fast=False):
     params = jax.jit(model.init)(
         rng, jnp.zeros((batch, size, size, 3)), jnp.zeros((batch,)), y)
     coeffs = make_diffusion(1000, "framework_linear")
-    denoise = make_denoise_fn(model.apply, params, y, 3.0)
+    # distilled students sample CFG-free: ONE conditional forward per
+    # step instead of the fused 2N CFG batch
+    denoise = make_denoise_fn(model.apply, params, y,
+                              0 if distilled_steps is not None else 3.0)
     victim_fn = _victim("resnet18", size, num_classes=num_classes,
                         bf16=not small)
     masks = jnp.ones((batch, size, size))
 
-    if fast:
+    if distilled_steps is not None:
+        from advshadow_tpu.samplers import ddim_sample
+
+        gen_fn = jax.jit(lambda key: ddim_sample(
+            coeffs, denoise, key, (batch, size, size, 3),
+            ddim_timesteps=steps, method="logsnr"))
+    elif fast:
         gen_fn = jax.jit(lambda key: dpmpp2m_sde_sample(
             coeffs, denoise, key, (batch, size, size, 3),
             sample_steps=steps, method="logsnr", dynamic_threshold=0.995))
@@ -559,12 +578,40 @@ def config_flagship_128(small, fast=False):
 
     dt = statistics.median(rep_dts)
     n_chips = jax.device_count()
-    sampler_desc = ("dpmpp-SDE-20+dt" if fast else "DDIM-50")
+    sampler_desc = (f"distilled-s{steps} CFG-free"
+                    if distilled_steps is not None
+                    else "dpmpp-SDE-20+dt" if fast else "DDIM-50")
     out = _result(f"flagship-128 {sampler_desc} shadowed imgs/sec/chip",
                   batch / dt / n_chips, "imgs/sec/chip",
                   flops=flops, seconds=dt)
     out["image_size"] = size
     out["batch"] = batch
+    if distilled_steps is not None:
+        out["sampler"] = {"sample": "ddim", "steps": steps,
+                          "method": "logsnr", "cfg_scale": 0,
+                          "guidance": "baked by train/distill.py stage 1"}
+        # quality columns from the committed student rows (the suite's
+        # weights are random; conditioning/FID are a property of the
+        # committed distilled checkpoints)
+        mpath = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "artifacts", "at_size_128", "distill_metrics.json")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                students = json.load(f).get("students", {})
+            match = {k: v for k, v in students.items()
+                     if v.get("config", {}).get("sample_steps") == steps}
+            if match:
+                best = max(match.items(), key=lambda kv: kv[1].get(
+                    "victim_accuracy_on_generated", 0))
+                out["quality_evidence"] = {
+                    "student": best[0],
+                    "victim_accuracy_on_generated":
+                        best[1]["victim_accuracy_on_generated"],
+                    "fid_generated_vs_train":
+                        best[1]["fid_generated_vs_train"],
+                    "source": "artifacts/at_size_128/distill_metrics.json",
+                }
     if fast:
         out["sampler"] = {"sample": "dpmpp_sde", "steps": steps,
                           "method": "logsnr", "dynamic_threshold": 0.995,
@@ -608,6 +655,9 @@ CONFIGS = {
     "sweep": config_sweep,
     "flagship-128": config_flagship_128,
     "flagship-128-fast": lambda small: config_flagship_128(small, fast=True),
+    "flagship-128-distilled": lambda small: config_flagship_128(
+        small, distilled_steps=int(os.environ.get(
+            "ADVSHADOW_DISTILL_SUITE_STEPS", "16"))),
 }
 
 
