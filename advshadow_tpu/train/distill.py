@@ -1,10 +1,19 @@
-"""Progressive guided distillation — few-step students with CFG baked in.
+"""Progressive guided distillation — few-step students (4-16 plain
+conditional forwards, no CFG double-batch).
 
 Beyond-reference capability (the reference's fastest committed protocol
 is DDIM-50 with a fused-2N CFG forward per step, ref:
-diff_model.py:416-474 + model/samples/ddpm.py:62-74).  This module
-distills the trained flagship into students that sample in 4-16 plain
-conditional forwards — no CFG double-batch — following
+diff_model.py:416-474 + model/samples/ddpm.py:62-74).  Measured status
+(artifacts/at_size_128/distill_metrics.json ``budget_trend``): the
+committed 128 px students reach/beat the teacher's marginal FID at
+2-3x the e2e throughput, but guidance baking is NOT yet achieved — a
+7x stage-1 budget extension (700 -> 5000 updates) left victim-
+conditioning at the *unguided* teacher's level (0.141 vs the CFG-3
+teacher's 0.231 on the same grid).  The conditioning path itself is
+proven correct (tests/test_distill.py: the stage-1 target contains the
+label-dependent CFG lift; student outputs depend on y), so this is an
+optimization-budget plateau — the source papers spend 10-50k
+updates/stage.  Mechanism follows
 
 - Salimans & Ho 2022 (2202.00512), progressive distillation: the
   student's one DDIM step from boundary t_i to t_{i+1} is regressed onto
