@@ -40,6 +40,14 @@ kv block.  The op now runs within ~6% of its matmul-structure floor;
 bigger wins at 128 px require changing the model (fewer full-res
 attention tokens, or d >= 128 heads), which parity with the reference
 forbids.
+
+Final word (round 5): the one remaining avenue — fusing the four d=16
+QK^T passes into a single padded d=64 pass over a block-tiled K so all
+heads' scores exit one systolic stream — was built and measured
+(experiments/flashbench_v2.py:probe_fused_qk): 1.17x SLOWER on-device
+(61.0 vs 52.2 ms at the sa6 shape).  Same score egress, and the VMEM
+K-tiling plus the smaller blocks its f32 score strip forces are pure
+overhead.  The kernel is closed.
 """
 
 from __future__ import annotations

@@ -233,6 +233,14 @@ def probe_fused_qk():
     passes and both round up to one 128-deep systolic pass per output
     tile, so fusing buys nothing and pays extra VPU tiling work +
     smaller blocks.  Measured here either way — the kernel's final word.
+
+    MEASURED (round 5, v5e, xplane device self time at the shape below):
+    v0 per-head 52.2 ms vs fused-qk(bq=256,bkv=1024) 61.0 ms —
+    fused is 1.17x SLOWER, exactly the predicted shape (same score
+    egress; the VMEM K-tiling and the smaller blocks the [BQ, H*BKV]
+    f32 score strip forces are pure overhead).  Wall-clock grid:
+    83.4 ms at 256/1024, 164-200 ms at 512-wide strips.  The production
+    kernel stands; this avenue is closed permanently.
     """
     from advshadow_tpu.utils.runtime import runtime_init
     runtime_init()
